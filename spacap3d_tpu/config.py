@@ -1,0 +1,148 @@
+"""Configuration for the SpaCap3D-TPU framework.
+
+Replaces the reference's two-tier config (global EasyDict `CONF` in
+lib/config.py + per-script argparse) with typed dataclasses that are
+serialized into every run directory.  Knob names are kept 1:1 with the
+reference CLI flags (see /root/reference/scripts/train.py:352-398) so
+reference commands map directly onto this framework.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+# Repo-internal metadata (ScanNet class maps, mean sizes, split lists).
+META_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "meta")
+
+# Special vocabulary tokens (reference lib/dataset.py:134-144).
+PAD_ID = 0
+UNK_ID = 1
+SOS_ID = 2
+EOS_ID = 3
+SPECIAL_TOKENS = ("pad_", "unk", "sos", "eos")
+
+# Training-time constants (reference lib/config.py:53-63).
+MAX_DES_LEN = 30          # max caption tokens (excluding sos/eos)
+MAX_NUM_OBJ = 128         # max GT objects per scene
+GT_VOTE_FACTOR = 3        # replicated GT votes per point
+DEFAULT_SEED = 42
+TRAIN_MIN_IOU = 0.25
+EVAL_MIN_IOU = 0.5
+MEAN_COLOR_RGB = (109.8, 97.2, 83.8)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Static architecture hyper-parameters (shapes are all fixed for XLA)."""
+
+    # Detector trunk (reference models/backbone_module.py:28-66).
+    num_points: int = 40000
+    input_feature_dim: int = 1          # height only by default (no_height=False)
+    num_proposals: int = 256
+    num_heading_bin: int = 1
+    num_size_cluster: int = 18
+    num_class: int = 18
+    vote_factor: int = 1
+
+    # Captioner (reference scripts/train.py:387-391 defaults).
+    vocab_size: int = 4528
+    num_layers: int = 6                 # --N
+    num_heads: int = 8                  # --h
+    d_model: int = 128
+    d_ff: int = 2048
+    transformer_dropout: float = 0.1
+    # 'xyz' | 'center' | 'loc' | None (None == --no_learnt_src_pos)
+    src_pos_type: Optional[str] = "xyz"
+    use_transformer_encoder: bool = True   # not --no_enc
+    early_guide: bool = True               # not --late_guide
+    check_relation: bool = True            # not --no_relation
+    no_caption: bool = False
+
+    max_des_len: int = MAX_DES_LEN
+    max_num_obj: int = MAX_NUM_OBJ
+
+    # Numerics: keep f32 weights; bf16 activations on matmul-heavy paths.
+    use_bf16: bool = False
+
+    @property
+    def size_decoded(self) -> bool:
+        # reference models/SpaCapNet.py:39
+        return self.src_pos_type == "loc"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 8
+    epoch: int = 50
+    lr: float = 1e-3
+    transformer_lr: float = 1e-3
+    wd: float = 1e-5
+    seed: int = DEFAULT_SEED
+    val_step: int = 2000
+    verbose: int = 1000
+    criterion: str = "cider"
+    no_detection: bool = False   # freeze detector trunk
+    no_caption: bool = False     # detection-only pretraining mode
+    use_relation: bool = True
+    # detection-only pretraining schedules (reference scripts/train.py:260-263)
+    lr_decay_step: Tuple[int, ...] = (80, 120, 160)
+    lr_decay_rate: float = 0.1
+    bn_decay_step: int = 20
+    bn_decay_rate: float = 0.5
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "ScanRefer"     # or "ReferIt3D"
+    data_root: str = os.environ.get("SPACAP_DATA_ROOT", "data")
+    num_points: int = 40000
+    use_height: bool = True
+    use_color: bool = False
+    use_normal: bool = False
+    use_multiview: bool = False
+    augment: bool = True
+    use_relation: bool = True
+    num_workers: int = 4
+
+    @property
+    def scannet_data(self) -> str:
+        return os.path.join(self.data_root, "scannet", "scannet_data")
+
+    @property
+    def input_feature_dim(self) -> int:
+        return (
+            128 * int(self.use_multiview)
+            + 3 * int(self.use_normal)
+            + 3 * int(self.use_color)
+            + int(self.use_height)
+        )
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    output_dir: str = "outputs"
+    tag: str = ""
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)
+
+    @staticmethod
+    def load(path: str) -> "RunConfig":
+        with open(path) as f:
+            raw = json.load(f)
+        return RunConfig(
+            model=ModelConfig(**raw["model"]),
+            train=TrainConfig(
+                **{k: tuple(v) if isinstance(v, list) else v for k, v in raw["train"].items()}
+            ),
+            data=DataConfig(**raw["data"]),
+            output_dir=raw.get("output_dir", "outputs"),
+            tag=raw.get("tag", ""),
+        )
