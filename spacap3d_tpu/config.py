@@ -47,6 +47,22 @@ class ModelConfig:
     num_class: int = 18
     vote_factor: int = 1
 
+    # Backbone SA/FP architecture (defaults = reference backbone_module.py:28-66;
+    # configurable so tests/small deployments can scale the trunk).
+    sa_npoints: Tuple[int, ...] = (2048, 1024, 512, 256)
+    sa_radii: Tuple[float, ...] = (0.2, 0.4, 0.8, 1.2)
+    sa_nsamples: Tuple[int, ...] = (64, 32, 16, 16)
+    sa_widths: Tuple[Tuple[int, ...], ...] = (
+        (64, 64, 128), (128, 128, 256), (128, 128, 256), (128, 128, 256)
+    )
+    fp_width: int = 256                 # FP mlp hidden/out width
+    seed_feature_dim: int = 256         # backbone output feature dim
+    # Vote aggregation SA (reference proposal_module.py:34-41): widths end in
+    # the proposal feature dim, which must equal the captioner d_model.
+    agg_radius: float = 0.3
+    agg_nsample: int = 16
+    proposal_feature_dim: int = 128
+
     # Captioner (reference scripts/train.py:387-391 defaults).
     vocab_size: int = 4528
     num_layers: int = 6                 # --N
