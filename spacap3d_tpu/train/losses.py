@@ -1,0 +1,255 @@
+"""Training losses.
+
+TPU-native port of reference lib/loss_helper.py:20-385 — identical math,
+identical weights, all fixed-shape (the reference's boolean-indexing
+reductions become masked sums).
+
+Composition (reference :291-385):
+    det_loss = vote + 0.5*objectness + box + 0.1*sem_cls          (:375)
+    box_loss = center + 0.1*heading_cls + heading_reg
+               + 0.1*size_cls + size_reg                           (:311)
+    loss     = 10*det_loss + cap_loss + 0.1*relation_loss          (:372-381)
+
+Objectness labels: proposals whose center is within NEAR_THRESHOLD (0.3 m)
+of a GT center are positive; beyond FAR_THRESHOLD (0.6 m) negative; the
+gray zone is masked out. Class weights [0.2, 0.8] (:15-18).
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from spacap3d_tpu.config import GT_VOTE_FACTOR
+from spacap3d_tpu.ops.nn_distance import huber_loss, nn_distance
+
+FAR_THRESHOLD = 0.6
+NEAR_THRESHOLD = 0.3
+OBJECTNESS_CLS_WEIGHTS = (0.2, 0.8)
+
+
+def _masked_mean(x, mask, eps=1e-6):
+    return jnp.sum(x * mask) / (jnp.sum(mask) + eps)
+
+
+def _ce(logits, labels):
+    """Per-element cross entropy, labels int (...), logits (..., C)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+
+
+def compute_vote_loss(ep: Dict) -> jnp.ndarray:
+    """Min-of-min L1 chamfer between predicted votes and the 3 replicated GT
+    votes gathered at the seed indices (reference :20-67)."""
+    b, num_seed, _ = ep["seed_xyz"].shape
+    vote_xyz = ep["vote_xyz"]                    # (B, num_seed*vf, 3)
+    seed_inds = ep["seed_inds"].astype(jnp.int32)
+
+    seed_gt_votes_mask = jnp.take_along_axis(ep["vote_label_mask"], seed_inds, axis=1)
+    seed_gt_votes = jnp.take_along_axis(
+        ep["vote_label"], seed_inds[..., None].astype(jnp.int32), axis=1
+    )                                            # (B, num_seed, 9)
+    seed_gt_votes = seed_gt_votes + jnp.tile(ep["seed_xyz"], (1, 1, GT_VOTE_FACTOR))
+
+    vf = vote_xyz.shape[1] // num_seed
+    votes = vote_xyz.reshape(b * num_seed, vf, 3)
+    gts = seed_gt_votes.reshape(b * num_seed, GT_VOTE_FACTOR, 3)
+    _, _, dist2, _ = nn_distance(votes, gts, l1=True)   # (B*ns, GT_VOTE_FACTOR)
+    votes_dist = jnp.min(dist2, axis=1).reshape(b, num_seed)
+    return _masked_mean(votes_dist, seed_gt_votes_mask.astype(jnp.float32))
+
+
+def compute_objectness_loss(ep: Dict):
+    """Reference :69-108. Returns loss, labels, mask, object_assignment."""
+    agg_xyz = ep["aggregated_vote_xyz"]
+    gt_center = ep["center_label"][:, :, :3]
+    dist1, ind1, _, _ = nn_distance(agg_xyz, gt_center)
+
+    edist = jnp.sqrt(dist1 + 1e-6)
+    objectness_label = (edist < NEAR_THRESHOLD).astype(jnp.int32)
+    objectness_mask = ((edist < NEAR_THRESHOLD) | (edist > FAR_THRESHOLD)).astype(
+        jnp.float32
+    )
+
+    logits = ep["objectness_scores"]             # (B, K, 2)
+    w = jnp.asarray(OBJECTNESS_CLS_WEIGHTS, jnp.float32)
+    per = _ce(logits, objectness_label) * w[objectness_label]
+    loss = _masked_mean(per, objectness_mask)
+    return loss, objectness_label, objectness_mask, ind1
+
+
+def compute_box_and_sem_cls_loss(ep: Dict, mean_size_arr: jnp.ndarray,
+                                 num_heading_bin: int, num_size_cluster: int):
+    """Reference :111-197."""
+    assign = ep["object_assignment"].astype(jnp.int32)       # (B, K)
+    objn = ep["objectness_label"].astype(jnp.float32)
+
+    # center: two-sided chamfer between predicted and GT centers
+    dist1, _, dist2, _ = nn_distance(ep["center"], ep["center_label"][:, :, :3])
+    center_loss = _masked_mean(dist1, objn) + _masked_mean(
+        dist2, ep["box_label_mask"].astype(jnp.float32)
+    )
+
+    # heading
+    heading_label = jnp.take_along_axis(ep["heading_class_label"], assign, axis=1)
+    heading_cls_loss = _masked_mean(_ce(ep["heading_scores"], heading_label), objn)
+    heading_res_label = jnp.take_along_axis(ep["heading_residual_label"], assign, axis=1)
+    heading_res_norm_label = heading_res_label / (jnp.pi / num_heading_bin)
+    hl_onehot = jax.nn.one_hot(heading_label, num_heading_bin)
+    pred_res = jnp.sum(ep["heading_residuals_normalized"] * hl_onehot, axis=-1)
+    heading_reg_loss = _masked_mean(
+        huber_loss(pred_res - heading_res_norm_label, 1.0), objn
+    )
+
+    # size
+    size_label = jnp.take_along_axis(ep["size_class_label"], assign, axis=1)
+    size_cls_loss = _masked_mean(_ce(ep["size_scores"], size_label), objn)
+    size_res_label = jnp.take_along_axis(
+        ep["size_residual_label"], assign[..., None], axis=1
+    )                                                         # (B, K, 3)
+    sl_onehot = jax.nn.one_hot(size_label, num_size_cluster)  # (B, K, NS)
+    pred_size_res = jnp.sum(
+        ep["size_residuals_normalized"] * sl_onehot[..., None], axis=2
+    )                                                         # (B, K, 3)
+    mean_size_label = jnp.sum(
+        sl_onehot[..., None] * mean_size_arr[None, None], axis=2
+    )                                                         # (B, K, 3)
+    size_res_norm_label = size_res_label / mean_size_label
+    size_reg_loss = _masked_mean(
+        jnp.mean(huber_loss(pred_size_res - size_res_norm_label, 1.0), axis=-1), objn
+    )
+
+    # semantics
+    sem_label = jnp.take_along_axis(ep["sem_cls_label"], assign, axis=1)
+    sem_cls_loss = _masked_mean(_ce(ep["sem_cls_scores"], sem_label), objn)
+
+    return (center_loss, heading_cls_loss, heading_reg_loss, size_cls_loss,
+            size_reg_loss, sem_cls_loss)
+
+
+def compute_cap_loss(ep: Dict):
+    """Reference :199-238. CE with ignore_index=0 over lang_ids[:, 1:T+1];
+    the denominator counts every token slot of every good box (pads
+    contribute zero loss but are counted), matching the reference."""
+    pred = ep["lang_cap"]                        # (B, T, V) log-probs
+    b, t, v = pred.shape
+    target = ep["lang_ids"][:, 1:t + 1]          # (B, T)
+
+    # log_softmax over exact log-probs is the identity, so applying CE to
+    # log-probs (as the reference does) equals -logp[target].
+    nll = -jnp.take_along_axis(pred, target[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    token_valid = (target != 0).astype(jnp.float32)
+    nll = nll * token_valid                      # ignore_index=0
+
+    good = ep["good_bbox_masks"].astype(jnp.float32)[:, None]  # (B, 1)
+    cap_loss = jnp.sum(nll * good) / (jnp.sum(jnp.broadcast_to(good, (b, t))) + 1e-6)
+
+    pred_ids = jnp.argmax(pred, axis=-1)
+    correct = (pred_ids == target).astype(jnp.float32) * token_valid * good
+    denom = jnp.sum(token_valid * good)
+    cap_acc = jnp.where(denom > 0, jnp.sum(correct) / denom, 0.0)
+    return cap_loss, cap_acc
+
+
+def compute_relation_loss(ep: Dict):
+    """Reference :240-289. GT K x K relation matrices gathered from the
+    MAX_NUM_OBJ x MAX_NUM_OBJ labels via object_assignment on both axes;
+    the loss averages CE over pairs (i, j) with valid[i] & valid[j]."""
+    assign = ep["object_assignment"].astype(jnp.int32)        # (B, K)
+    b, k = assign.shape
+
+    def gather2d(label):
+        g = jnp.take_along_axis(label, assign[..., None], axis=1)  # rows
+        g = jnp.take_along_axis(g, assign[:, None, :], axis=2)     # cols
+        return g
+
+    valid = (
+        jnp.take_along_axis(ep["box_label_mask_int"], assign, axis=1)
+        & ep["objectness_label"].astype(ep["box_label_mask_int"].dtype)
+    ).astype(jnp.float32)                                      # (B, K)
+    pair_mask = valid[:, :, None] * valid[:, None, :]          # (B, K, K)
+
+    losses, accs = [], []
+    for i, axis in enumerate(("x", "y", "z")):
+        label = gather2d(ep[f"{axis}_label"])
+        logits = ep["relation_pred"][..., 3 * i:3 * i + 3]
+        ce = _ce(logits, label)
+        losses.append(_masked_mean(ce, pair_mask))
+        correct = (jnp.argmax(logits, -1) == label).astype(jnp.float32)
+        accs.append(_masked_mean(correct, pair_mask))
+    return tuple(losses) + tuple(accs)
+
+
+def get_scene_cap_loss(
+    ep: Dict, mean_size_arr: jnp.ndarray,
+    num_heading_bin: int = 1, num_size_cluster: int = 18,
+    detection: bool = True, caption: bool = True, use_relation: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Composite loss; returns the endpoints dict enriched with every loss
+    scalar the reference logs (:291-385)."""
+    out = dict(ep)
+    zero = jnp.float32(0.0)
+
+    vote_loss = compute_vote_loss(ep)
+    objectness_loss, obj_label, obj_mask, assign = compute_objectness_loss(ep)
+    out["objectness_label"] = obj_label
+    out["objectness_mask"] = obj_mask
+    out["object_assignment"] = assign
+    total_props = obj_label.shape[0] * obj_label.shape[1]
+    out["pos_ratio"] = jnp.sum(obj_label.astype(jnp.float32)) / total_props
+    out["neg_ratio"] = jnp.sum(obj_mask) / total_props - out["pos_ratio"]
+
+    (center_loss, heading_cls_loss, heading_reg_loss, size_cls_loss,
+     size_reg_loss, sem_cls_loss) = compute_box_and_sem_cls_loss(
+        out, mean_size_arr, num_heading_bin, num_size_cluster
+    )
+    box_loss = (center_loss + 0.1 * heading_cls_loss + heading_reg_loss
+                + 0.1 * size_cls_loss + size_reg_loss)
+
+    obj_acc = _masked_mean(
+        (ep["bbox_mask"] == obj_label).astype(jnp.float32), obj_mask
+    )
+    out["obj_acc"] = obj_acc
+
+    if use_relation:
+        x_loss, y_loss, z_loss, x_acc, y_acc, z_acc = compute_relation_loss(out)
+        out.update(x_loss=x_loss, y_loss=y_loss, z_loss=z_loss,
+                   x_acc=x_acc, y_acc=y_acc, z_acc=z_acc,
+                   relation_loss=x_loss + y_loss + z_loss)
+    else:
+        out.update(x_loss=zero, y_loss=zero, z_loss=zero,
+                   x_acc=zero, y_acc=zero, z_acc=zero, relation_loss=zero)
+
+    if detection:
+        out.update(
+            vote_loss=vote_loss, objectness_loss=objectness_loss,
+            center_loss=center_loss, heading_cls_loss=heading_cls_loss,
+            heading_reg_loss=heading_reg_loss, size_cls_loss=size_cls_loss,
+            size_reg_loss=size_reg_loss, sem_cls_loss=sem_cls_loss,
+            box_loss=box_loss,
+        )
+    else:
+        for k in ("vote_loss", "objectness_loss", "center_loss",
+                  "heading_cls_loss", "heading_reg_loss", "size_cls_loss",
+                  "size_reg_loss", "sem_cls_loss", "box_loss", "det_loss"):
+            out[k] = zero
+
+    if caption:
+        cap_loss, cap_acc = compute_cap_loss(out)
+        out["cap_loss"], out["cap_acc"] = cap_loss, cap_acc
+    else:
+        out["cap_loss"], out["cap_acc"] = zero, zero
+        out["pred_ious"] = zero
+
+    loss = zero
+    if detection:
+        out["det_loss"] = (out["vote_loss"] + 0.5 * out["objectness_loss"]
+                           + out["box_loss"] + 0.1 * out["sem_cls_loss"])
+        loss = loss + 10.0 * out["det_loss"]
+    if caption:
+        loss = loss + out["cap_loss"]
+    if use_relation:
+        loss = loss + 0.1 * out["relation_loss"]
+    out["loss"] = loss
+    return out
