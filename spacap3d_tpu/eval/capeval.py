@@ -1,0 +1,328 @@
+"""Caption metrics: BLEU-1..4, CIDEr, ROUGE-L, METEOR.
+
+Host-side (pure Python/numpy) implementations of the COCO-caption scoring
+algorithms, matching the reference's vendored scorers
+(lib/capeval/{bleu,cider,rouge,meteor}) decision-for-decision:
+
+  * BLEU: per-corpus brevity penalty with the 'closest' effective
+    reference length, clipped n-gram counts against per-ref max counts,
+    tiny/small smoothing constants (bleu/bleu_scorer.py:197-258).
+  * CIDEr: n=1..4 tf-idf cosine with idf document count = number of
+    keys (images), log ref-len = log(#images), per-ref gaussian length
+    penalty sigma=6. Quirk preserved: the "length" used by the penalty
+    counts *bigrams* (the reference increments length only when the
+    ngram index n==1, cider/cider_scorer.py:140-141).
+  * ROUGE-L: LCS F-beta with beta=1.2, max precision/recall over refs
+    (rouge/rouge.py:36-102).
+  * METEOR: the reference shells out to the METEOR-1.5 java jar
+    (meteor/meteor.py:12-58). ``Meteor`` does the same when a jar is
+    available (``SPACAP_METEOR_JAR`` or the default path); otherwise it
+    falls back to a pure-Python exact+stem matcher (``MeteorLite``) and
+    flags itself as non-parity via ``Meteor.is_exact``.
+
+API: each scorer has ``compute_score(gts, res) -> (score, per_key_scores)``
+where gts/res map key -> list of sentence strings (res lists have 1 entry).
+"""
+from __future__ import annotations
+
+import math
+import os
+import subprocess
+import threading
+from collections import Counter, defaultdict
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+def _ngrams(words: List[str], n: int) -> Counter:
+    counts: Counter = Counter()
+    for k in range(1, n + 1):
+        for i in range(len(words) - k + 1):
+            counts[tuple(words[i:i + k])] += 1
+    return counts
+
+
+# -----------------------------------------------------------------------------
+# BLEU
+# -----------------------------------------------------------------------------
+
+class Bleu:
+    def __init__(self, n: int = 4):
+        self.n = n
+
+    def compute_score(self, gts: Dict, res: Dict):
+        assert gts.keys() == res.keys()
+        n = self.n
+        small, tiny = 1e-9, 1e-15
+
+        total_guess = [0] * n
+        total_correct = [0] * n
+        total_testlen = 0
+        total_reflen = 0.0
+        per_sentence: List[List[float]] = [[] for _ in range(n)]
+
+        for key in gts.keys():
+            hyp_words = res[key][0].split()
+            testlen = len(hyp_words)
+            ref_counts: Dict = {}
+            reflens = []
+            for ref in gts[key]:
+                ref_words = ref.split()
+                reflens.append(len(ref_words))
+                for ng, c in _ngrams(ref_words, n).items():
+                    ref_counts[ng] = max(ref_counts.get(ng, 0), c)
+            # 'closest' effective reference length (ties -> shorter)
+            reflen = min((abs(l - testlen), l) for l in reflens)[1]
+
+            guess = [max(0, testlen - k) for k in range(n)]
+            correct = [0] * n
+            for ng, c in _ngrams(hyp_words, n).items():
+                correct[len(ng) - 1] += min(ref_counts.get(ng, 0), c)
+
+            total_testlen += testlen
+            total_reflen += reflen
+            bleu = 1.0
+            ratio = (testlen + tiny) / (reflen + small)
+            for k in range(n):
+                total_guess[k] += guess[k]
+                total_correct[k] += correct[k]
+                bleu *= (correct[k] + tiny) / (guess[k] + small)
+                val = bleu ** (1.0 / (k + 1))
+                if ratio < 1:
+                    val *= math.exp(1 - 1 / ratio)
+                per_sentence[k].append(val)
+
+        bleus = []
+        bleu = 1.0
+        ratio = (total_testlen + tiny) / (total_reflen + small)
+        for k in range(n):
+            bleu *= (total_correct[k] + tiny) / (total_guess[k] + small)
+            val = bleu ** (1.0 / (k + 1))
+            if ratio < 1:
+                val *= math.exp(1 - 1 / ratio)
+            bleus.append(val)
+        return bleus, per_sentence
+
+    def method(self):
+        return "Bleu"
+
+
+# -----------------------------------------------------------------------------
+# CIDEr
+# -----------------------------------------------------------------------------
+
+class Cider:
+    def __init__(self, n: int = 4, sigma: float = 6.0):
+        self.n = n
+        self.sigma = sigma
+
+    def compute_score(self, gts: Dict, res: Dict):
+        assert gts.keys() == res.keys()
+        keys = list(gts.keys())
+        n, sigma = self.n, self.sigma
+
+        crefs = [[_ngrams(r.split(), n) for r in gts[k]] for k in keys]
+        ctests = [_ngrams(res[k][0].split(), n) for k in keys]
+
+        # document frequency over reference sets
+        df: Dict = defaultdict(float)
+        for refs in crefs:
+            for ng in set(ng for ref in refs for ng in ref):
+                df[ng] += 1.0
+        ref_len = np.log(float(len(crefs)))
+
+        def counts2vec(cnts: Counter):
+            vec = [defaultdict(float) for _ in range(n)]
+            norm = [0.0] * n
+            length = 0
+            for ng, tf in cnts.items():
+                idf = ref_len - np.log(max(1.0, df[ng]))
+                k = len(ng) - 1
+                vec[k][ng] = float(tf) * idf
+                norm[k] += vec[k][ng] ** 2
+                if k == 1:          # quirk: "length" counts bigrams
+                    length += tf
+            return vec, [math.sqrt(x) for x in norm], length
+
+        scores = []
+        for test, refs in zip(ctests, crefs):
+            vec, norm, length = counts2vec(test)
+            score = np.zeros(n)
+            for ref in refs:
+                vref, nref, lref = counts2vec(ref)
+                delta = float(length - lref)
+                val = np.zeros(n)
+                for k in range(n):
+                    for ng in vec[k]:
+                        val[k] += min(vec[k][ng], vref[k][ng]) * vref[k][ng]
+                    if norm[k] != 0 and nref[k] != 0:
+                        val[k] /= norm[k] * nref[k]
+                    val[k] *= math.exp(-(delta ** 2) / (2 * sigma ** 2))
+                score += val
+            scores.append(float(score.mean() / len(refs) * 10.0))
+        return float(np.mean(scores)), np.array(scores)
+
+    def method(self):
+        return "CIDEr"
+
+
+# -----------------------------------------------------------------------------
+# ROUGE-L
+# -----------------------------------------------------------------------------
+
+def _lcs_len(a: List[str], b: List[str]) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0] * (len(b) + 1)
+        for j, y in enumerate(b, 1):
+            cur[j] = prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[len(b)]
+
+
+class Rouge:
+    def __init__(self, beta: float = 1.2):
+        self.beta = beta
+
+    def calc_score(self, candidate: List[str], refs: List[str]) -> float:
+        hyp = candidate[0].split(" ")
+        precs, recs = [], []
+        for ref in refs:
+            r = ref.split(" ")
+            lcs = _lcs_len(r, hyp)
+            precs.append(lcs / float(len(hyp)))
+            recs.append(lcs / float(len(r)))
+        pmax, rmax = max(precs), max(recs)
+        if pmax != 0 and rmax != 0:
+            b2 = self.beta ** 2
+            return ((1 + b2) * pmax * rmax) / float(rmax + b2 * pmax)
+        return 0.0
+
+    def compute_score(self, gts: Dict, res: Dict):
+        assert gts.keys() == res.keys()
+        scores = [self.calc_score(res[k], gts[k]) for k in gts.keys()]
+        return float(np.mean(scores)), np.array(scores)
+
+    def method(self):
+        return "Rouge"
+
+
+# -----------------------------------------------------------------------------
+# METEOR
+# -----------------------------------------------------------------------------
+
+DEFAULT_METEOR_JAR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "meteor-1.5.jar"
+)
+
+
+class MeteorJar:
+    """stdio wrapper around the METEOR-1.5 jar (bit-for-bit parity path;
+    same protocol as reference lib/capeval/meteor/meteor.py:12-58)."""
+
+    def __init__(self, jar_path: str):
+        self.lock = threading.Lock()
+        self.proc = subprocess.Popen(
+            ["java", "-jar", "-Xmx2G", jar_path, "-", "-", "-stdio", "-l", "en",
+             "-norm"],
+            cwd=os.path.dirname(os.path.abspath(jar_path)),
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            universal_newlines=True, bufsize=1,
+        )
+
+    def compute_score(self, gts: Dict, res: Dict):
+        assert gts.keys() == res.keys()
+        keys = list(gts.keys())
+        with self.lock:
+            eval_line = "EVAL"
+            for k in keys:
+                hyp = res[k][0].replace("|||", "").replace("  ", " ")
+                score_line = " ||| ".join(
+                    ("SCORE", " ||| ".join(gts[k]), hyp)
+                )
+                self.proc.stdin.write(score_line + "\n")
+                eval_line += " ||| " + self.proc.stdout.readline().strip()
+            self.proc.stdin.write(eval_line + "\n")
+            scores = [float(self.proc.stdout.readline().strip()) for _ in keys]
+            final = float(self.proc.stdout.readline().strip())
+        return final, np.array(scores)
+
+
+def _porter_light(w: str) -> str:
+    """Very small suffix stripper for the fallback matcher."""
+    for suf in ("ing", "edly", "ed", "es", "s", "ly"):
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: len(w) - len(suf)]
+    return w
+
+
+class MeteorLite:
+    """Pure-Python METEOR-style scorer (exact + light-stem matching,
+    standard METEOR-1.5 defaults alpha=.85 beta=.2 gamma=.6 delta=.75 for
+    exact/stem weights 1.0/0.6). NON-PARITY fallback — use the jar for
+    published numbers."""
+
+    alpha, beta, gamma = 0.85, 0.2, 0.6
+
+    def _align(self, hyp: List[str], ref: List[str]):
+        matches = []
+        used_r = set()
+        for i, hw in enumerate(hyp):
+            for j, rw in enumerate(ref):
+                if j in used_r:
+                    continue
+                if hw == rw or _porter_light(hw) == _porter_light(rw):
+                    matches.append((i, j))
+                    used_r.add(j)
+                    break
+        return matches
+
+    def _chunks(self, matches):
+        if not matches:
+            return 0
+        matches = sorted(matches)
+        chunks = 1
+        for (i0, j0), (i1, j1) in zip(matches, matches[1:]):
+            if not (i1 == i0 + 1 and j1 == j0 + 1):
+                chunks += 1
+        return chunks
+
+    def sentence_score(self, hyp_s: str, refs: List[str]) -> float:
+        hyp = hyp_s.split()
+        best = 0.0
+        for ref_s in refs:
+            ref = ref_s.split()
+            matches = self._align(hyp, ref)
+            m = len(matches)
+            if m == 0 or not hyp or not ref:
+                continue
+            p = m / len(hyp)
+            r = m / len(ref)
+            fmean = p * r / (self.alpha * p + (1 - self.alpha) * r)
+            frag = self._chunks(matches) / m
+            pen = self.gamma * frag ** 3.0
+            best = max(best, fmean * (1 - pen))
+        return best
+
+    def compute_score(self, gts: Dict, res: Dict):
+        assert gts.keys() == res.keys()
+        scores = [self.sentence_score(res[k][0], gts[k]) for k in gts.keys()]
+        return float(np.mean(scores)), np.array(scores)
+
+
+class Meteor:
+    """Dispatches to the jar when present, MeteorLite otherwise."""
+
+    def __init__(self, jar_path: str | None = None):
+        jar = jar_path or os.environ.get("SPACAP_METEOR_JAR", DEFAULT_METEOR_JAR)
+        self.is_exact = os.path.exists(jar)
+        self._impl = MeteorJar(jar) if self.is_exact else MeteorLite()
+
+    def compute_score(self, gts: Dict, res: Dict):
+        return self._impl.compute_score(gts, res)
+
+    def method(self):
+        return "METEOR"
