@@ -1,0 +1,92 @@
+"""Batch assembly + prefetching loader.
+
+Replaces torch DataLoader(num_workers=4) (reference scripts/train.py:119)
+with a thread-pool prefetcher: items are built by worker threads (numpy
+releases the GIL in the hot gather/percentile ops), stacked into
+fixed-shape batches, and handed to the device asynchronously so the TPU
+never waits on the host (SURVEY.md §5 "host input pipeline throughput").
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def stack_batch(items) -> Dict[str, np.ndarray]:
+    keys = items[0].keys()
+    return {k: np.stack([it[k] for it in items]) for k in keys}
+
+
+class DataLoader:
+    """Iterates fixed-size batches; per-epoch shuffling with a dedicated
+    RNG; drop_last=False pads the final batch by wrapping around (keeps
+    shapes static for XLA — the reference instead ran a ragged last batch,
+    which would force a recompile on TPU)."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool, seed: int = 0,
+                 num_workers: int = 4, prefetch: int = 2, drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        rng = np.random.RandomState((self.seed * 100003 + self.epoch) % (2 ** 31))
+        idx = rng.permutation(n) if self.shuffle else np.arange(n)
+        if self.drop_last:
+            idx = idx[: (n // self.batch_size) * self.batch_size]
+        elif n % self.batch_size:
+            pad = self.batch_size - n % self.batch_size
+            idx = np.concatenate([idx, idx[:pad]])
+        return idx
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self._indices()
+        batches = indices.reshape(-1, self.batch_size)
+        epoch = self.epoch
+        self.epoch += 1
+
+        def build_item(args):
+            i, idx = args
+            rng = np.random.RandomState(
+                (self.seed * 2654435761 + epoch * 97 + int(idx)) % (2 ** 31)
+            )
+            return self.dataset.__getitem__(int(idx), rng=rng)
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b, batch_idx in enumerate(batches):
+                    if stop.is_set():
+                        break
+                    items = list(pool.map(build_item, enumerate(batch_idx)))
+                    q.put(stack_batch(items))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()

@@ -13,8 +13,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The TPU-tunnel plugin re-asserts jax_platforms='axon,cpu' from
+# sitecustomize, overriding the env var — force CPU at the config level.
+jax.config.update("jax_platforms", "cpu")
+
 # Exact f32 matmuls for parity tests (TPU default would use bf16 passes).
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.default_backend() == "cpu", jax.devices()
+assert len(jax.devices()) == 8, jax.devices()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
