@@ -122,6 +122,7 @@ class DataConfig:
     augment: bool = True
     use_relation: bool = True
     num_workers: int = 4
+    max_des_len: int = MAX_DES_LEN
 
     @property
     def scannet_data(self) -> str:

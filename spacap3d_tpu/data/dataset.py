@@ -279,9 +279,10 @@ class ScanReferDataset:
         gt_object_ids[:num_bbox] = obj_ids
 
         # ----- language ----------------------------------------------------
-        lang_ids = self.vocab.encode(ann["token"])
+        max_des = cfg.max_des_len
+        lang_ids = self.vocab.encode(ann["token"], max_len=max_des)
         lang_label = np.concatenate([[1], lang_ids]).astype(np.int64)
-        lang_len = min(len(ann["token"]) + 2, MAX_DES_LEN + 2)
+        lang_len = min(len(ann["token"]) + 2, max_des + 2)
         object_name = " ".join(ann["object_name"].split("_"))
         object_cat = dc.raw2label.get(object_name, 17)
 

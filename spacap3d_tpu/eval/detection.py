@@ -291,8 +291,9 @@ def eval_det(pred_all: Dict, gt_all: Dict, ovthresh=0.25, use_07_metric=False,
     todo = [c for c in gt if c in pred]
     args = [(pred[c], gt[c], ovthresh, use_07_metric) for c in todo]
     if num_workers > 1 and len(todo) > 1:
+        # spawn (not fork): fork is unsafe in a process with live JAX threads
         from multiprocessing import get_context
-        with get_context("fork").Pool(processes=min(num_workers, len(todo))) as pool:
+        with get_context("spawn").Pool(processes=min(num_workers, len(todo))) as pool:
             results = pool.map(_eval_cls_worker, args)
     else:
         results = [eval_det_cls(*a) for a in args]

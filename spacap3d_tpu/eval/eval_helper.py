@@ -1,0 +1,219 @@
+"""Caption evaluation harness.
+
+Port of reference lib/eval_helper.py:24-319 (prepare_corpus,
+feed_scene_cap, eval_cap): run the model's greedy decode over every
+proposal, post-process with class-NMS + objectness + IoU>min_iou
+matching against assigned GT boxes, decode surviving captions keyed
+``scene|object_id|object_name``, back-fill undetected objects with
+"sos eos", and score with BLEU/CIDEr/ROUGE/METEOR.
+
+TPU redesign vs the reference:
+  * the device part (detector + all-proposal KV-cached decode + the
+    detection losses that produce object_assignment) is ONE jitted
+    forward, optionally sharded over scenes on the mesh ``data`` axis;
+  * IoU vs assigned GT corners is computed in-device; only ids/captions
+    and small per-proposal tensors cross to the host;
+  * caption and detection evaluation share the same forward pass
+    (the reference runs the whole detector twice per seed,
+    scripts/eval.py:462-463).
+
+POST_DICT parity: remove_empty_box, 3D class-NMS at IoU 0.25,
+per_class_proposal, conf 0.05 (lib/eval_helper.py:135-144).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from spacap3d_tpu.config import EVAL_MIN_IOU, MAX_DES_LEN
+from spacap3d_tpu.data.scannet_config import ScannetDatasetConfig
+from spacap3d_tpu.data.vocabulary import Vocabulary
+from spacap3d_tpu.eval import capeval
+from spacap3d_tpu.eval.detection import (
+    APCalculator,
+    parse_groundtruths,
+    parse_predictions,
+)
+
+
+def prepare_corpus(raw_data: List[dict], max_len: int = MAX_DES_LEN) -> Dict[str, List[str]]:
+    """reference lib/eval_helper.py:24-44."""
+    corpus: Dict[str, List[str]] = {}
+    for data in raw_data:
+        key = "{}|{}|{}".format(
+            data["scene_id"], data["object_id"], data["object_name"]
+        )
+        description = "sos " + " ".join(data["token"][:max_len]) + " eos"
+        corpus.setdefault(key, []).append(description)
+    return corpus
+
+
+def check_candidates(corpus: Dict, candidates: Dict) -> Dict:
+    """Back-fill undetected objects with 'sos eos' (reference :59-69)."""
+    for key in corpus:
+        if key not in candidates:
+            candidates[key] = ["sos eos"]
+    return candidates
+
+
+def organize_candidates(corpus: Dict, candidates: Dict) -> Dict:
+    return {key: candidates[key] for key in corpus}
+
+
+POST_DICT_DEFAULTS = dict(
+    remove_empty_box=True, use_3d_nms=True, nms_iou=0.25,
+    use_old_type_nms=False, cls_nms=True, per_class_proposal=True,
+    conf_thresh=0.05,
+)
+
+
+def feed_scene_cap(
+    eval_step,
+    params, state,
+    dataset,
+    loader,
+    vocab: Vocabulary,
+    organized: Dict,
+    dc: ScannetDatasetConfig,
+    min_iou: float = EVAL_MIN_IOU,
+    also_detection: bool = False,
+    batch_to_device=None,
+) -> Tuple[Dict, Optional[APCalculator]]:
+    """Runs the jitted eval forward over the loader; returns candidates
+    (and an APCalculator fed from the same pass when also_detection)."""
+    candidates: Dict[str, List[str]] = {}
+    post = dict(POST_DICT_DEFAULTS, dataset_config=dc)
+    ap_calc = APCalculator(0.5, dc.class2type) if also_detection else None
+
+    for batch in loader:
+        dev_batch = batch_to_device(batch) if batch_to_device else batch
+        out = eval_step(params, state, dev_batch)
+        out = {k: np.asarray(v) for k, v in out.items()}
+
+        captions = out["lang_cap"]                       # (B, K, T) int
+        bsize, num_proposals = captions.shape[:2]
+
+        ep_host = dict(out)
+        ep_host["point_clouds"] = batch["point_clouds"]
+        preds = parse_predictions(ep_host, post)
+        nms_mask = ep_host["pred_mask"] * (out["bbox_mask"] != 0)
+
+        assign = out["object_assignment"].astype(np.int64)     # (B, K)
+        detected_object_ids = np.take_along_axis(
+            batch["scene_object_ids"], assign, axis=1
+        )
+        gt_corners = batch["gt_box_corner_label"]              # (B, M, 8, 3)
+        assigned_corners = np.take_along_axis(
+            gt_corners, assign[:, :, None, None], axis=1
+        )                                                       # (B, K, 8, 3)
+        det_corners = out["bbox_corner"]
+        mn1, mx1 = assigned_corners.min(2), assigned_corners.max(2)
+        mn2, mx2 = det_corners.min(2), det_corners.max(2)
+        inter = np.prod(np.maximum(np.minimum(mx1, mx2) - np.maximum(mn1, mn2), 0), -1)
+        v1 = np.prod(mx1 - mn1, -1)
+        v2 = np.prod(mx2 - mn2, -1)
+        ious = inter / (v1 + v2 - inter + 1e-8)
+        good = ious > min_iou
+
+        for b in range(bsize):
+            ds_idx = int(batch["dataset_idx"][b])
+            scene_id = dataset.annotations[ds_idx]["scene_id"]
+            for k in range(num_proposals):
+                if nms_mask[b, k] == 1 and good[b, k]:
+                    object_id = str(int(detected_object_ids[b, k]))
+                    try:
+                        ann_list = list(organized[scene_id][object_id].keys())
+                        object_name = organized[scene_id][object_id][ann_list[0]][
+                            "object_name"
+                        ]
+                    except KeyError:
+                        continue
+                    key = f"{scene_id}|{object_id}|{object_name}"
+                    candidates[key] = [vocab.decode(captions[b, k])]
+
+        if ap_calc is not None:
+            gts = parse_groundtruths(
+                {
+                    "box_label_mask": batch["box_label_mask"],
+                    "sem_cls_label": batch["sem_cls_label"],
+                    "gt_box_corner_label": batch["gt_box_corner_label"],
+                },
+                post,
+            )
+            ap_calc.step(preds, gts)
+
+    return candidates, ap_calc
+
+
+def organize_annotations(annotations: List[dict]) -> Dict:
+    """Flat annotation list -> {scene: {obj: {ann: entry}}} (the layout of
+    the reference's *_organized.json, scripts/organize_scanrefer.py)."""
+    out: Dict = {}
+    for ann in annotations:
+        out.setdefault(ann["scene_id"], {}).setdefault(
+            str(ann["object_id"]), {}
+        )[str(ann.get("ann_id", 0))] = ann
+    return out
+
+
+def score_captions(corpus: Dict, candidates: Dict, meteor_jar: Optional[str] = None):
+    """Returns the reference's (bleu, cider, rouge, meteor) tuple layout."""
+    candidates = check_candidates(corpus, candidates)
+    candidates = organize_candidates(corpus, candidates)
+    bleu = capeval.Bleu(4).compute_score(corpus, candidates)
+    cider = capeval.Cider().compute_score(corpus, candidates)
+    rouge = capeval.Rouge().compute_score(corpus, candidates)
+    meteor = capeval.Meteor(meteor_jar).compute_score(corpus, candidates)
+    return bleu, cider, rouge, meteor, candidates
+
+
+def eval_cap(
+    eval_step, params, state, dataset, loader, vocab, dc,
+    corpus_annotations: List[dict],
+    min_iou: float = EVAL_MIN_IOU,
+    also_detection: bool = False,
+    corpus_cache: Optional[str] = None,
+    pred_path: Optional[str] = None,
+    batch_to_device=None,
+    meteor_jar: Optional[str] = None,
+):
+    """Full caption (+ optional detection) evaluation pass."""
+    if corpus_cache and os.path.exists(corpus_cache):
+        with open(corpus_cache) as f:
+            corpus = json.load(f)
+    else:
+        corpus = prepare_corpus(corpus_annotations)
+        if corpus_cache:
+            os.makedirs(os.path.dirname(corpus_cache) or ".", exist_ok=True)
+            with open(corpus_cache, "w") as f:
+                json.dump(corpus, f, indent=4)
+
+    organized = organize_annotations(corpus_annotations)
+    candidates, ap_calc = feed_scene_cap(
+        eval_step, params, state, dataset, loader, vocab, organized, dc,
+        min_iou=min_iou, also_detection=also_detection,
+        batch_to_device=batch_to_device,
+    )
+    bleu, cider, rouge, meteor, candidates = score_captions(
+        corpus, candidates, meteor_jar
+    )
+    if pred_path:
+        os.makedirs(os.path.dirname(pred_path) or ".", exist_ok=True)
+        with open(pred_path, "w") as f:
+            json.dump(candidates, f, indent=4)
+
+    metrics = {
+        "bleu-1": bleu[0][0], "bleu-2": bleu[0][1],
+        "bleu-3": bleu[0][2], "bleu-4": bleu[0][3],
+        "cider": cider[0], "rouge": rouge[0], "meteor": meteor[0],
+    }
+    metrics["sum"] = sum(metrics.values())
+    if ap_calc is not None:
+        det = ap_calc.compute_metrics()
+        metrics["mAP@0.5"] = det["mAP"]
+        metrics["AR@0.5"] = det["AR"]
+        metrics["detection"] = det
+    return metrics, candidates

@@ -1,0 +1,237 @@
+"""Training solver: epoch loop, in-loop validation, checkpointing,
+telemetry.
+
+TPU-native rework of reference lib/solver.py:80-697 (class Solver):
+  * the per-iter work is one compiled pjit step (train/step.py) instead
+    of eager forward/loss/backward;
+  * fetch vs step time telemetry is kept (host input pipeline vs device,
+    reference :464-505) plus ETA extrapolation;
+  * validation every ``val_step`` iterations runs the shared-forward
+    caption evaluator (eval/eval_helper.py) on the val loader and keeps
+    the best checkpoint by ``criterion`` (default CIDEr, :556-580);
+  * ``model_last`` is written each epoch, asynchronously; interrupts
+    save the previous-epoch snapshot (:237-240, :582-594);
+  * BN-momentum schedule for detection pretraining: momentum
+    0.5 * 0.5^(epoch // 20), floor 0.001 (:179-187).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from spacap3d_tpu.config import RunConfig
+from spacap3d_tpu.eval.eval_helper import eval_cap
+from spacap3d_tpu.parallel.mesh import shard_batch
+from spacap3d_tpu.train.step import (
+    TrainState,
+    init_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from spacap3d_tpu.utils.checkpoint import AsyncCheckpointer, load_checkpoint
+from spacap3d_tpu.utils.logging import RunLogger, decode_eta
+
+BN_MOMENTUM_INIT = 0.5
+BN_MOMENTUM_MAX = 0.001
+
+
+class Solver:
+    def __init__(
+        self,
+        run_cfg: RunConfig,
+        params, state,
+        train_loader,
+        val_loader,
+        train_dataset,
+        val_dataset,
+        vocab,
+        dataset_config,
+        corpus_annotations,
+        stamp: str,
+        mesh=None,
+        start_epoch: int = 0,
+        checkpoint_best: Optional[Dict] = None,
+        eval_on_train: bool = False,
+        meteor_jar: Optional[str] = None,
+    ):
+        self.cfg = run_cfg
+        self.tc = run_cfg.train
+        self.mc = run_cfg.model
+        self.mesh = mesh
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self.vocab = vocab
+        self.dc = dataset_config
+        self.corpus_annotations = corpus_annotations
+        self.stamp = stamp
+        self.start_epoch = start_epoch
+        self.eval_on_train = eval_on_train
+        self.meteor_jar = meteor_jar
+
+        self.root = os.path.join(run_cfg.output_dir, stamp)
+        self.logger = RunLogger(self.root)
+        self.ckpt = AsyncCheckpointer()
+
+        steps_per_epoch = len(train_loader)
+        self.tx = make_optimizer(params, self.tc, steps_per_epoch)
+        self.train_state = init_train_state(params, state, self.tx)
+        self.train_step = make_train_step(
+            self.mc, self.tc, self.tx, mesh=mesh, donate=True
+        )
+        self.eval_step = make_eval_step(self.mc, mesh=mesh)
+
+        self.best = checkpoint_best or {
+            "epoch": 0, "bleu-1": -float("inf"), "bleu-2": -float("inf"),
+            "bleu-3": -float("inf"), "bleu-4": -float("inf"),
+            "cider": -float("inf"), "rouge": -float("inf"),
+            "meteor": -float("inf"), "sum": -float("inf"),
+        }
+        self.global_iter = 0
+        self._prev_snapshot = None
+        self._timing = {"fetch": [], "step": []}
+
+    # ------------------------------------------------------------------
+    def bn_momentum(self, epoch: int) -> float:
+        if not self.tc.no_caption:
+            return 0.1  # torch default; only detection pretraining schedules it
+        m = BN_MOMENTUM_INIT * (self.tc.bn_decay_rate ** (epoch // self.tc.bn_decay_step))
+        return max(m, BN_MOMENTUM_MAX)
+
+    def _to_device(self, batch):
+        if self.mesh is not None:
+            return shard_batch(self.mesh, batch)
+        return batch
+
+    def _save(self, name: str, epoch: int):
+        payload = {
+            "epoch": epoch,
+            "iter": self.global_iter,
+            "params": self.train_state.params,
+            "state": self.train_state.state,
+            "opt_state": self.train_state.opt_state,
+            "step": self.train_state.step,
+            "best": dict(self.best),
+            "config": None,
+        }
+        self.ckpt.save(os.path.join(self.root, name), payload)
+        return payload
+
+    def restore(self, path: str):
+        payload = load_checkpoint(path)
+        from spacap3d_tpu.utils.convert import np_to_jax
+
+        self.train_state = TrainState(
+            np_to_jax(payload["params"]), np_to_jax(payload["state"]),
+            np_to_jax(payload["opt_state"]), payload["step"],
+        )
+        self.best = payload["best"]
+        self.global_iter = payload["iter"]
+        self.start_epoch = payload["epoch"] + 1
+
+    # ------------------------------------------------------------------
+    def __call__(self, epochs: int, verbose: int = 1000):
+        total_iters = len(self.train_loader) * epochs
+        rng = jax.random.PRNGKey(self.tc.seed)
+        t_start = time.time()
+        try:
+            for epoch in range(self.start_epoch, epochs):
+                self.logger.log(f"epoch {epoch + 1} starting...")
+                momentum = self.bn_momentum(epoch)
+                self._feed_epoch(epoch, rng, momentum, verbose, total_iters, t_start)
+                self._save("model_last.ckpt", epoch)
+                self._prev_snapshot = ("model_last.ckpt", epoch)
+        except KeyboardInterrupt:
+            self.logger.log("interrupted; saving previous-epoch snapshot...")
+            self.ckpt.wait()
+            self.logger.dump_scalars()
+            raise
+        self.ckpt.wait()
+        self._finish()
+
+    def _feed_epoch(self, epoch, rng, momentum, verbose, total_iters, t_start):
+        fetch_t0 = time.time()
+        for batch in self.train_loader:
+            step_rng = jax.random.fold_in(rng, self.global_iter)
+            dev_batch = self._to_device(batch)
+            fetch_time = time.time() - fetch_t0
+
+            t0 = time.time()
+            self.train_state, metrics = self.train_step(
+                self.train_state, dev_batch, step_rng, momentum
+            )
+            if (self.global_iter + 1) % verbose == 0 or self.global_iter == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                step_time = time.time() - t0
+                self._report(epoch, metrics, fetch_time, step_time,
+                             total_iters, t_start)
+                for k, v in metrics.items():
+                    self.logger.scalar("train", k, v, self.global_iter)
+            self._timing["fetch"].append(fetch_time)
+
+            self.global_iter += 1
+            if self.tc.val_step and self.global_iter % self.tc.val_step == 0:
+                self._validate(epoch)
+            fetch_t0 = time.time()
+
+    def _report(self, epoch, metrics, fetch_time, step_time, total_iters, t_start):
+        done = max(self.global_iter, 1)
+        eta = decode_eta((time.time() - t_start) / done * (total_iters - done))
+        parts = [f"epoch {epoch + 1} iter {self.global_iter}/{total_iters}"]
+        for k in ("loss", "det_loss", "cap_loss", "relation_loss", "cap_acc", "obj_acc"):
+            if k in metrics:
+                parts.append(f"{k} {metrics[k]:.4f}")
+        parts.append(f"fetch {fetch_time * 1000:.0f}ms step {step_time * 1000:.0f}ms")
+        parts.append(f"eta {eta['h']}h{eta['m']}m")
+        self.logger.log(" | ".join(parts))
+
+    # ------------------------------------------------------------------
+    def _validate(self, epoch):
+        if self.tc.no_caption or self.val_loader is None:
+            return
+        self.logger.log("validating...")
+        metrics, _ = eval_cap(
+            self.eval_step, self.train_state.params, self.train_state.state,
+            self.val_dataset, self.val_loader, self.vocab, self.dc,
+            self.corpus_annotations,
+            corpus_cache=os.path.join(self.root, "corpus_val.json"),
+            pred_path=os.path.join(self.root, "pred_val.json"),
+            batch_to_device=self._to_device,
+            meteor_jar=self.meteor_jar,
+        )
+        for k, v in metrics.items():
+            if isinstance(v, (int, float)):
+                self.logger.scalar("val", k, v, self.global_iter)
+        crit = self.tc.criterion
+        if crit == "sum":
+            cur = sum(metrics[k] for k in ("bleu-4", "cider", "rouge", "meteor"))
+        else:
+            cur = metrics[crit]
+        self.logger.log(
+            "val: " + " ".join(f"{k}={metrics[k]:.4f}" for k in
+                               ("bleu-4", "cider", "rouge", "meteor"))
+        )
+        if cur > self.best[crit]:
+            self.logger.log(f"new best {crit}: {cur:.4f} (epoch {epoch + 1})")
+            self.best.update(
+                {k: metrics.get(k, self.best.get(k)) for k in
+                 ("bleu-1", "bleu-2", "bleu-3", "bleu-4", "cider", "rouge", "meteor")}
+            )
+            self.best["epoch"] = epoch + 1
+            self.best["sum"] = sum(
+                metrics[k] for k in ("bleu-4", "cider", "rouge", "meteor")
+            )
+            self._save("model.ckpt", epoch)
+
+    def _finish(self):
+        with open(os.path.join(self.root, "best.txt"), "w") as f:
+            for k, v in self.best.items():
+                f.write(f"{k}: {v}\n")
+        self.logger.write_json("best.json", self.best)
+        self.logger.close()

@@ -1,0 +1,171 @@
+"""Jitted/pjit-sharded train and eval steps.
+
+Replaces the reference Solver's eager per-iter forward/loss/backward
+(lib/solver.py:417-545) with a single compiled step: forward + loss +
+grad + optax update + BN-state update, sharded over the mesh ``data``
+axis (gradients all-reduced by XLA over ICI).
+
+Optimizer parity (reference scripts/train.py:226-236): torch Adam with
+two param groups (captioner lr separate) and L2 weight decay folded into
+the gradients — i.e. ``add_decayed_weights`` BEFORE ``scale_by_adam``
+(torch's coupled weight decay, not AdamW). LR decay for detection
+pretraining is MultiStepLR([80,120,160], 0.1) in epochs
+(scripts/train.py:260-263).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from spacap3d_tpu.config import ModelConfig, TrainConfig
+from spacap3d_tpu.models.spacap import apply_spacap
+from spacap3d_tpu.train.losses import get_scene_cap_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    state: Any          # batch-norm running stats
+    opt_state: Any
+    step: jnp.ndarray
+
+
+# Metric keys surfaced to the solver each step (reference Solver logs).
+METRIC_KEYS = (
+    "loss", "det_loss", "cap_loss", "relation_loss", "vote_loss",
+    "objectness_loss", "box_loss", "center_loss", "heading_cls_loss",
+    "heading_reg_loss", "size_cls_loss", "size_reg_loss", "sem_cls_loss",
+    "cap_acc", "obj_acc", "pos_ratio", "neg_ratio", "pred_ious",
+    "x_loss", "y_loss", "z_loss", "x_acc", "y_acc", "z_acc",
+)
+
+
+def _param_labels(params, no_detection: bool):
+    """'caption' / 'base' / 'frozen' label tree for multi_transform."""
+
+    def label_subtree(tree, label):
+        return jax.tree_util.tree_map(lambda _: label, tree)
+
+    labels = {}
+    for key, sub in params.items():
+        if key == "mean_size_arr":
+            labels[key] = "frozen"
+        elif key == "caption":
+            labels[key] = label_subtree(sub, "caption")
+        elif no_detection:
+            labels[key] = label_subtree(sub, "frozen")
+        else:
+            labels[key] = label_subtree(sub, "base")
+    return labels
+
+
+def make_optimizer(params, tc: TrainConfig, steps_per_epoch: int):
+    """Two-group Adam with torch-coupled weight decay and (detection
+    pretraining only) MultiStep LR decay."""
+    if tc.no_caption and tc.lr_decay_step:
+        bounds = {
+            int(e) * steps_per_epoch: tc.lr_decay_rate for e in tc.lr_decay_step
+        }
+        base_sched = optax.piecewise_constant_schedule(tc.lr, bounds)
+    else:
+        base_sched = tc.lr
+
+    def adam_chain(lr):
+        return optax.chain(
+            optax.add_decayed_weights(tc.wd),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.scale_by_learning_rate(lr),  # includes the -1 sign flip
+        )
+
+    tx = optax.multi_transform(
+        {
+            "base": adam_chain(base_sched),
+            "caption": adam_chain(tc.transformer_lr),
+            "frozen": optax.set_to_zero(),
+        },
+        _param_labels(params, tc.no_detection),
+    )
+    return tx
+
+
+def make_train_step(
+    cfg: ModelConfig, tc: TrainConfig, tx, mesh=None, donate: bool = False
+) -> Callable:
+    """Returns step(train_state, batch, rng, bn_momentum) ->
+    (train_state, metrics dict)."""
+
+    def loss_fn(params, state, batch, rng, bn_momentum):
+        ep, new_state = apply_spacap(
+            params, state, cfg, batch, is_eval=False, train=True, rng=rng,
+            bn_momentum=bn_momentum,
+        )
+        ep = get_scene_cap_loss(
+            ep, params["mean_size_arr"], cfg.num_heading_bin,
+            cfg.num_size_cluster,
+            detection=not tc.no_detection,
+            caption=not tc.no_caption,
+            use_relation=tc.use_relation and cfg.check_relation,
+        )
+        metrics = {k: ep[k] for k in METRIC_KEYS if k in ep}
+        return ep["loss"], (new_state, metrics)
+
+    def step(ts: TrainState, batch, rng, bn_momentum):
+        (_, (new_state, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(ts.params, ts.state, batch, rng, bn_momentum)
+        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        return TrainState(new_params, new_state, new_opt, ts.step + 1), metrics
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        step = jax.jit(
+            step,
+            in_shardings=(repl, data, repl, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,) if donate else (),
+        )
+    else:
+        step = jax.jit(step, donate_argnums=(0,) if donate else ())
+    return step
+
+
+def make_eval_step(cfg: ModelConfig, mesh=None, with_caption_decode=True):
+    """Eval forward (greedy decode when the model has a captioner) + the
+    detection side-outputs the eval harness needs (object_assignment etc.,
+    reference lib/eval_helper.py:97 runs the loss with caption=False)."""
+
+    # keys consumed by the host-side eval pipeline
+    out_keys = (
+        "lang_cap", "bbox_corner", "bbox_mask", "objectness_scores",
+        "sem_cls_scores", "sem_cls", "center", "object_assignment",
+        "objectness_label", "aggregated_vote_xyz",
+    )
+
+    def fwd(params, state, batch):
+        ep, _ = apply_spacap(
+            params, state, cfg, batch,
+            is_eval=with_caption_decode and not cfg.no_caption,
+            train=False, rng=None,
+        )
+        ep = get_scene_cap_loss(
+            ep, params["mean_size_arr"], cfg.num_heading_bin,
+            cfg.num_size_cluster, detection=True, caption=False,
+            use_relation=False,
+        )
+        return {k: ep[k] for k in out_keys if k in ep}
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(fwd, in_shardings=(repl, repl, data), out_shardings=data)
+    return jax.jit(fwd)
+
+
+def init_train_state(params, state, tx) -> TrainState:
+    return TrainState(params, state, tx.init(params), jnp.int32(0))

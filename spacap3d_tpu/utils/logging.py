@@ -1,0 +1,69 @@
+"""Run logging: log.txt mirror, scalar history -> all_scalars.json,
+optional TensorBoard, ETA formatting.
+
+Parity with the reference's observability surface (SURVEY.md §5):
+tensorboard scalars per iter/eval (lib/solver.py:309-333), plain-text
+log.txt (:155-156), all_scalars.json at finish (:596-602), info.json run
+manifest (scripts/train.py:291-305), best.txt (:696-697).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+
+def decode_eta(seconds: float) -> Dict[str, int]:
+    seconds = int(max(0, seconds))
+    return {
+        "h": seconds // 3600,
+        "m": (seconds % 3600) // 60,
+        "s": seconds % 60,
+    }
+
+
+class RunLogger:
+    def __init__(self, root: str, use_tensorboard: bool = True):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._fout = open(os.path.join(root, "log.txt"), "a")
+        self._scalars = defaultdict(list)  # tag -> [(wall, step, value)]
+        self._tb = {}
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                for phase in ("train", "val"):
+                    d = os.path.join(root, "tensorboard", phase)
+                    os.makedirs(d, exist_ok=True)
+                    self._tb[phase] = SummaryWriter(d)
+            except Exception:
+                self._tb = {}
+
+    def log(self, msg: str):
+        self._fout.write(msg + "\n")
+        self._fout.flush()
+        print(msg, flush=True)
+
+    def scalar(self, phase: str, tag: str, value: float, step: int):
+        full = f"{phase}/{tag}"
+        self._scalars[full].append((time.time(), step, float(value)))
+        if phase in self._tb:
+            self._tb[phase].add_scalar(tag, float(value), step)
+
+    def dump_scalars(self):
+        path = os.path.join(self.root, "all_scalars.json")
+        with open(path, "w") as f:
+            json.dump(self._scalars, f)
+
+    def write_json(self, name: str, payload):
+        with open(os.path.join(self.root, name), "w") as f:
+            json.dump(payload, f, indent=4, default=str)
+
+    def close(self):
+        self.dump_scalars()
+        for w in self._tb.values():
+            w.close()
+        self._fout.close()

@@ -1,0 +1,116 @@
+"""End-to-end: synthetic data -> pjit train steps (loss decreases) ->
+shared-forward caption+detection eval -> multi-device mesh step."""
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from spacap3d_tpu.config import DataConfig, ModelConfig, TrainConfig
+from spacap3d_tpu.data.dataset import ScanReferDataset, SceneStore
+from spacap3d_tpu.data.loader import DataLoader
+from spacap3d_tpu.data.scannet_config import ScannetDatasetConfig
+from spacap3d_tpu.data.synthetic import write_synthetic_dataset
+from spacap3d_tpu.data.vocabulary import Vocabulary
+from spacap3d_tpu.eval.eval_helper import eval_cap
+from spacap3d_tpu.models import init_spacap
+from spacap3d_tpu.parallel.mesh import make_mesh, shard_batch
+from spacap3d_tpu.train.step import (
+    init_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+MODEL_CFG = ModelConfig(
+    num_points=1024,
+    num_proposals=16,
+    num_layers=2,
+    num_heads=4,
+    d_model=32,
+    d_ff=64,
+    max_des_len=7,
+    sa_npoints=(128, 64, 32, 16),
+    sa_nsamples=(16, 8, 8, 4),
+    sa_widths=((16, 16, 32), (32, 32, 64), (32, 32, 64), (32, 32, 64)),
+    fp_width=64,
+    seed_feature_dim=64,
+    proposal_feature_dim=32,
+)
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("e2e"))
+    anns, scene_ids = write_synthetic_dataset(root, num_scenes=2, seed=1)
+    data_cfg = DataConfig(data_root=root, num_points=MODEL_CFG.num_points,
+                          augment=False, use_relation=True, max_des_len=7)
+    dc = ScannetDatasetConfig()
+    scenes = SceneStore(data_cfg.scannet_data, scene_ids, load_relations=True)
+    vocab = Vocabulary.build(anns, max_len=7)
+    ds = ScanReferDataset(anns, scenes, vocab, dc, data_cfg, split="train")
+    cfg = dataclasses.replace(MODEL_CFG, vocab_size=len(vocab))
+    params, state = init_spacap(jax.random.PRNGKey(0), cfg, dc.mean_size_arr)
+    return root, anns, ds, vocab, dc, cfg, params, state
+
+
+def test_train_steps_reduce_loss(setup):
+    _, _, ds, vocab, dc, cfg, params, state = setup
+    tc = TrainConfig(batch_size=4, use_relation=True)
+    dl = DataLoader(ds, batch_size=4, shuffle=False, num_workers=1)
+    batch = next(iter(dl))
+
+    tx = make_optimizer(params, tc, steps_per_epoch=10)
+    ts = init_train_state(params, state, tx)
+    step = make_train_step(cfg, tc, tx)
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(8):
+        ts, metrics = step(ts, batch, jax.random.fold_in(rng, i), 0.1)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    # overfitting one batch must reduce the loss substantially
+    assert losses[-1] < losses[0] * 0.9, losses
+    # mean_size_arr must stay frozen
+    np.testing.assert_array_equal(
+        np.asarray(ts.params["mean_size_arr"]),
+        np.asarray(params["mean_size_arr"]),
+    )
+
+
+def test_eval_cap_end_to_end(setup):
+    _, anns, ds, vocab, dc, cfg, params, state = setup
+    dl = DataLoader(ds, batch_size=4, shuffle=False, num_workers=1)
+    eval_step = make_eval_step(cfg)
+    metrics, candidates = eval_cap(
+        eval_step, params, state, ds, dl, vocab, dc, anns,
+        also_detection=True,
+    )
+    for k in ("bleu-4", "cider", "rouge", "meteor", "mAP@0.5", "AR@0.5"):
+        assert k in metrics
+        assert np.isfinite(metrics[k])
+    # corpus keys covered: every annotated object has a candidate
+    assert len(candidates) > 0
+    for v in candidates.values():
+        assert v[0].startswith("sos")
+
+
+def test_multichip_train_step(setup):
+    _, _, ds, vocab, dc, cfg, params, state = setup
+    n_dev = len(jax.devices())
+    assert n_dev == 8
+    mesh = make_mesh()
+    tc = TrainConfig(batch_size=8, use_relation=True)
+    dl = DataLoader(ds, batch_size=8, shuffle=False, num_workers=1)
+    batch = next(iter(dl))
+
+    tx = make_optimizer(params, tc, steps_per_epoch=10)
+    ts = init_train_state(params, state, tx)
+    step = make_train_step(cfg, tc, tx, mesh=mesh)
+    dev_batch = shard_batch(mesh, batch)
+    ts, metrics = step(ts, dev_batch, jax.random.PRNGKey(0), 0.1)
+    assert np.isfinite(float(metrics["loss"]))
+    # params replicated; batch sharded over 8 devices
+    leaf = jax.tree_util.tree_leaves(ts.params)[0]
+    assert leaf.sharding.is_fully_replicated
+    assert not dev_batch["point_clouds"].sharding.is_fully_replicated
