@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Evaluation CLI.
+
+Mirrors the reference scripts/eval.py:380-483 surface: single-seed
+caption + detection evaluation of a trained checkpoint, and the
+``--mul_eval`` 100-seed benchmark protocol (re-seeded point sampling per
+seed; per-seed CIDEr/BLEU-4/METEOR/ROUGE + mAP written to
+``{eval_tag}_results.csv``; best-CIDEr seed reported — reference
+:446-478).
+
+TPU redesign: caption and detection evaluation share ONE forward pass per
+scene (the reference runs the detector twice per seed, :462-463), the
+decode is KV-cached, and scenes are sharded over the device mesh.
+"""
+import argparse
+import csv
+import dataclasses
+import json
+import os
+import sys
+from copy import deepcopy
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--folder", type=str, required=True,
+                   help="run folder under --output_dir containing model.ckpt")
+    p.add_argument("--dataset", type=str, default="ScanRefer")
+    p.add_argument("--data_root", type=str,
+                   default=os.environ.get("SPACAP_DATA_ROOT", "data"))
+    p.add_argument("--output_dir", type=str, default="outputs")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--mul_eval", action="store_true")
+    p.add_argument("--num_seeds", type=int, default=100)
+    p.add_argument("--eval_tag", type=str, default="eval")
+    p.add_argument("--min_iou", type=float, default=0.5)
+    p.add_argument("--no_detection_eval", action="store_true")
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--checkpoint", type=str, default="model.ckpt")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from spacap3d_tpu.config import RunConfig
+    from spacap3d_tpu.data.dataset import ScanReferDataset, SceneStore
+    from spacap3d_tpu.data.loader import DataLoader
+    from spacap3d_tpu.data.scannet_config import ScannetDatasetConfig
+    from spacap3d_tpu.data.vocabulary import Vocabulary
+    from spacap3d_tpu.eval.eval_helper import eval_cap
+    from spacap3d_tpu.parallel.mesh import make_mesh, shard_batch
+    from spacap3d_tpu.train.step import make_eval_step
+    from spacap3d_tpu.utils.checkpoint import load_checkpoint
+    from spacap3d_tpu.utils.convert import np_to_jax
+
+    root = os.path.join(args.output_dir, args.folder)
+    run_cfg = RunConfig.load(os.path.join(root, "config.json"))
+    model_cfg = run_cfg.model
+    dc = ScannetDatasetConfig()
+
+    if args.dataset == "ScanRefer":
+        val_anns = json.load(open(os.path.join(args.data_root, "ScanRefer_filtered_val.json")))
+    else:
+        val_anns = json.load(open(os.path.join(args.data_root, "nr3d_val.json")))
+    val_scenes = sorted({a["scene_id"] for a in val_anns})
+    eval_list = []
+    for sid in val_scenes:  # one forward per scene (reference eval.py:97-117)
+        e = deepcopy(val_anns[0])
+        e["scene_id"] = sid
+        eval_list.append(e)
+
+    vocab = Vocabulary.load(
+        os.path.join(args.data_root, f"{args.dataset}_vocabulary.json")
+    )
+
+    data_cfg = dataclasses.replace(run_cfg.data, augment=False,
+                                   use_relation=False, data_root=args.data_root)
+    mv = os.path.join(args.data_root, "scannet", "scannet_data",
+                      "enet_feats_maxpool.hdf5") if data_cfg.use_multiview else None
+    store = SceneStore(data_cfg.scannet_data, val_scenes, load_relations=False,
+                       multiview_hdf5=mv)
+    ds = ScanReferDataset(eval_list, store, vocab, dc, data_cfg, split="val")
+
+    payload = load_checkpoint(os.path.join(root, args.checkpoint))
+    params = np_to_jax(payload["params"])
+    state = np_to_jax(payload["state"])
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh() if n_dev > 1 else None
+    eval_step = make_eval_step(model_cfg, mesh=mesh)
+    to_dev = (lambda b: shard_batch(mesh, b)) if mesh else None
+
+    seeds = range(args.num_seeds) if args.mul_eval else [args.seed]
+    rows = []
+    for seed in seeds:
+        loader = DataLoader(ds, min(args.batch_size, len(ds)), shuffle=False,
+                            seed=seed, num_workers=args.num_workers)
+        metrics, _ = eval_cap(
+            eval_step, params, state, ds, loader, vocab, dc, val_anns,
+            min_iou=args.min_iou,
+            also_detection=not args.no_detection_eval,
+            corpus_cache=os.path.join(root, "corpus_val.json"),
+            pred_path=os.path.join(root, f"pred_val_{args.eval_tag}_{seed}.json"),
+            batch_to_device=to_dev,
+        )
+        row = {"seed": seed, **{k: v for k, v in metrics.items()
+                                if isinstance(v, (int, float))}}
+        rows.append(row)
+        print(json.dumps(row))
+
+    csv_path = os.path.join(root, f"{args.eval_tag}_results.csv")
+    with open(csv_path, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=sorted(rows[0].keys()))
+        writer.writeheader()
+        writer.writerows(rows)
+
+    if args.mul_eval:
+        best = max(rows, key=lambda r: r["cider"])
+        mean_cider = float(np.mean([r["cider"] for r in rows]))
+        print(f"best seed {best['seed']}: CIDEr {best['cider']:.4f} "
+              f"(mean over {len(rows)} seeds: {mean_cider:.4f})")
+        print(json.dumps({"best": best, "mean_cider": mean_cider}))
+
+
+if __name__ == "__main__":
+    main()

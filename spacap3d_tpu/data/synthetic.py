@@ -102,6 +102,59 @@ def make_annotations(
     return anns
 
 
+def synthetic_batch(
+    model_cfg, batch_size: int = 2, seed: int = 0,
+    num_objects: int = 6, vocab_size: int | None = None,
+    use_relation: bool = True, max_des_len: int | None = None,
+):
+    """Builds a full in-memory training batch (no disk IO) with every key
+    the loss layer consumes — used by __graft_entry__ and bench.py."""
+    from spacap3d_tpu.config import DataConfig
+    from spacap3d_tpu.data.dataset import ScanReferDataset, Scene, SceneStore
+    from spacap3d_tpu.data.loader import stack_batch
+    from spacap3d_tpu.data.vocabulary import Vocabulary
+
+    rng = np.random.RandomState(seed)
+    dc = ScannetDatasetConfig()
+    max_des = max_des_len if max_des_len is not None else model_cfg.max_des_len
+    data_cfg = DataConfig(
+        num_points=model_cfg.num_points, augment=False,
+        use_relation=use_relation, max_des_len=max_des,
+    )
+
+    store = SceneStore.__new__(SceneStore)
+    store.scenes = {}
+    annotations = []
+    n_scenes = max(1, min(batch_size, 4))
+    for s in range(n_scenes):
+        sid = f"scene{s:04d}_00"
+        arrays = make_scene(rng, num_objects=num_objects, dc=dc)
+        store.scenes[sid] = Scene(
+            mesh_vertices=arrays["aligned_vert"],
+            instance_labels=arrays["ins_label"],
+            semantic_labels=arrays["sem_label"],
+            instance_bboxes=arrays["aligned_bbox"],
+            relations={ax: arrays[ax] for ax in ("x", "y", "z")},
+        )
+        annotations += make_annotations(rng, sid, arrays["aligned_bbox"], dc=dc)
+
+    vocab = Vocabulary.build(annotations, max_len=max_des)
+    if vocab_size is not None:
+        # pad the vocabulary to the requested size (embedding table shape)
+        i = len(vocab.word2idx)
+        while i < vocab_size:
+            w = f"pad_word_{i}"
+            vocab.word2idx[w] = i
+            vocab.idx2word[str(i)] = w
+            i += 1
+    ds = ScanReferDataset(annotations, store, vocab, dc, data_cfg, split="train")
+    items = [
+        ds.__getitem__(i % len(ds), rng=np.random.RandomState(seed + i))
+        for i in range(batch_size)
+    ]
+    return stack_batch(items), vocab, ds
+
+
 def write_synthetic_dataset(
     root: str, num_scenes: int = 4, seed: int = 0, **scene_kwargs
 ) -> Tuple[List[dict], List[str]]:
