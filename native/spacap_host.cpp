@@ -1,0 +1,126 @@
+// spacap_host: native host-side kernels for the input pipeline.
+//
+// The reference's data loading runs in torch DataLoader worker processes
+// (scripts/train.py:119); the hot per-item numpy work (40k-point gather,
+// floor-percentile, per-instance vote targets, point-in-box counting for
+// eval) is reimplemented here as a C shared library driven from the
+// Python loader threads via ctypes — true parallelism (no GIL) without
+// worker processes. Randomness stays in Python (numpy RNG) so item
+// construction remains bit-identical to the numpy path; these kernels
+// are pure deterministic transforms.
+//
+// Build: make -C native    (produces libspacap_host.so)
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+// dst[i, :] = src[idx[i], :]
+void gather_rows_f32(const float* src, const int64_t* idx, float* dst,
+                     int64_t n_out, int64_t n_feat) {
+  for (int64_t i = 0; i < n_out; ++i) {
+    std::memcpy(dst + i * n_feat, src + idx[i] * n_feat,
+                sizeof(float) * n_feat);
+  }
+}
+
+void gather_rows_f64(const double* src, const int64_t* idx, double* dst,
+                     int64_t n_out, int64_t n_feat) {
+  for (int64_t i = 0; i < n_out; ++i) {
+    std::memcpy(dst + i * n_feat, src + idx[i] * n_feat,
+                sizeof(double) * n_feat);
+  }
+}
+
+void gather_i64(const int64_t* src, const int64_t* idx, int64_t* dst,
+                int64_t n_out) {
+  for (int64_t i = 0; i < n_out; ++i) dst[i] = src[idx[i]];
+}
+
+// numpy-compatible linear-interpolation percentile of values[0..n)
+double percentile(const double* values, int64_t n, double q) {
+  std::vector<double> v(values, values + n);
+  double pos = q / 100.0 * (double)(n - 1);
+  int64_t lo = (int64_t)std::floor(pos);
+  int64_t hi = std::min(lo + 1, n - 1);
+  std::nth_element(v.begin(), v.begin() + lo, v.end());
+  double vlo = v[lo];
+  double vhi = vlo;
+  if (hi != lo) {
+    vhi = *std::min_element(v.begin() + lo + 1, v.end());
+  }
+  return vlo + (vhi - vlo) * (pos - (double)lo);
+}
+
+// GT vote targets (reference lib/dataset.py:421-430 semantics, SURVEY.md
+// §2.4): for every point of a detection-class instance, vote = instance
+// AABB center - point. The instance's class is the semantic label of its
+// first point. valid_sem is a 41-slot 0/1 lookup of detection nyu40 ids.
+void compute_votes(const double* xyz, const int64_t* ins, const int64_t* sem,
+                   const uint8_t* valid_sem, int64_t n, double* votes /*n*9*/,
+                   double* mask /*n*/) {
+  std::unordered_map<int64_t, int64_t> first;  // instance -> slot
+  std::vector<double> mins, maxs;
+  std::vector<uint8_t> valid;
+  std::vector<int64_t> slot_of(n);
+  for (int64_t i = 0; i < n; ++i) {
+    auto it = first.find(ins[i]);
+    int64_t s;
+    if (it == first.end()) {
+      s = (int64_t)valid.size();
+      first.emplace(ins[i], s);
+      mins.insert(mins.end(), {xyz[i * 3], xyz[i * 3 + 1], xyz[i * 3 + 2]});
+      maxs.insert(maxs.end(), {xyz[i * 3], xyz[i * 3 + 1], xyz[i * 3 + 2]});
+      int64_t sl = sem[i];
+      valid.push_back((sl >= 0 && sl <= 40) ? valid_sem[sl] : 0);
+    } else {
+      s = it->second;
+      for (int d = 0; d < 3; ++d) {
+        mins[s * 3 + d] = std::min(mins[s * 3 + d], xyz[i * 3 + d]);
+        maxs[s * 3 + d] = std::max(maxs[s * 3 + d], xyz[i * 3 + d]);
+      }
+    }
+    slot_of[i] = s;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t s = slot_of[i];
+    if (valid[s]) {
+      mask[i] = 1.0;
+      for (int d = 0; d < 3; ++d) {
+        double c = 0.5 * (mins[s * 3 + d] + maxs[s * 3 + d]);
+        double v = c - xyz[i * 3 + d];
+        votes[i * 9 + d] = v;
+        votes[i * 9 + 3 + d] = v;
+        votes[i * 9 + 6 + d] = v;
+      }
+    } else {
+      mask[i] = 0.0;
+      for (int d = 0; d < 9; ++d) votes[i * 9 + d] = 0.0;
+    }
+  }
+}
+
+// Count of scene points inside each axis-aligned box (for eval's
+// remove_empty_box, reference ap_helper.py:69-79). boxes given as
+// (k, 6) [lo_xyz, hi_xyz]; counts out (k,).
+void points_in_boxes(const float* pc /*n*3*/, int64_t n,
+                     const double* boxes /*k*6*/, int64_t k,
+                     int32_t* counts) {
+  for (int64_t b = 0; b < k; ++b) counts[b] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const float x = pc[i * 3], y = pc[i * 3 + 1], z = pc[i * 3 + 2];
+    for (int64_t b = 0; b < k; ++b) {
+      const double* bx = boxes + b * 6;
+      if (x >= bx[0] && x <= bx[3] && y >= bx[1] && y <= bx[4] &&
+          z >= bx[2] && z <= bx[5]) {
+        counts[b] += 1;
+      }
+    }
+  }
+}
+
+}  // extern "C"

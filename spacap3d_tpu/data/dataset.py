@@ -37,6 +37,7 @@ from spacap3d_tpu.config import (
     MEAN_COLOR_RGB,
     DataConfig,
 )
+from spacap3d_tpu.data import native
 from spacap3d_tpu.data.scannet_config import ScannetDatasetConfig
 from spacap3d_tpu.data.vocabulary import Vocabulary
 from spacap3d_tpu.ops.boxes import _CORNER_SIGNS  # corner ordering (jnp const)
@@ -175,15 +176,24 @@ class ScanReferDataset:
             feats.append(scene.multiview)
         point_cloud = np.concatenate(feats, axis=1)
         if cfg.use_height:
-            floor = np.percentile(point_cloud[:, 2], 0.99)
+            # NOTE: 0.99 is the 0.99th PERCENTILE (not 99th) — a reference
+            # quirk (lib/dataset.py:330-333) reproduced deliberately; it
+            # effectively picks (near) the lowest z as the floor height.
+            floor = native.percentile_z(point_cloud[:, 2], 0.99)
             point_cloud = np.concatenate(
                 [point_cloud, (point_cloud[:, 2] - floor)[:, None]], axis=1
             )
 
         choices = random_sampling(point_cloud.shape[0], cfg.num_points, rng)
-        point_cloud = point_cloud[choices].astype(np.float64)
-        instance_labels = scene.instance_labels[choices]
-        semantic_labels = scene.semantic_labels[choices]
+        point_cloud = native.gather_rows(
+            np.ascontiguousarray(point_cloud, np.float64), choices
+        )
+        instance_labels = native.gather_rows(
+            np.ascontiguousarray(scene.instance_labels, np.int64), choices
+        )
+        semantic_labels = native.gather_rows(
+            np.ascontiguousarray(scene.semantic_labels, np.int64), choices
+        )
 
         bboxes = scene.instance_bboxes
         num_bbox = min(bboxes.shape[0], MAX_NUM_OBJ)
@@ -228,10 +238,16 @@ class ScanReferDataset:
                 mat[:num_bbox, :num_bbox] = relations[ax][:num_bbox, :num_bbox]
                 out_rel[f"{ax}_label"] = mat
 
-        # ----- votes AFTER augmentation (vectorized) ----------------------
-        point_votes, point_votes_mask = compute_votes(
-            point_cloud[:, :3], instance_labels, semantic_labels, dc
+        # ----- votes AFTER augmentation (vectorized / native) -------------
+        native_votes = native.compute_votes_native(
+            point_cloud[:, :3], instance_labels, semantic_labels, dc.nyu40ids
         )
+        if native_votes is not None:
+            point_votes, point_votes_mask = native_votes
+        else:
+            point_votes, point_votes_mask = compute_votes(
+                point_cloud[:, :3], instance_labels, semantic_labels, dc
+            )
 
         # ----- class / size labels ----------------------------------------
         size_classes = np.zeros(MAX_NUM_OBJ)

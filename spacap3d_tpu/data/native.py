@@ -1,0 +1,117 @@
+"""ctypes bindings for the native host kernels (native/spacap_host.cpp).
+
+Auto-builds the shared library on first use when a compiler is present;
+every entry point has a numpy fallback so the pipeline works without the
+native component (``HAS_NATIVE`` reports which path is active).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libspacap_host.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
+    c64 = ctypes.c_int64
+
+    lib.gather_rows_f64.argtypes = [f64p, i64p, f64p, c64, c64]
+    lib.gather_rows_f32.argtypes = [f32p, i64p, f32p, c64, c64]
+    lib.gather_i64.argtypes = [i64p, i64p, i64p, c64]
+    lib.percentile.restype = ctypes.c_double
+    lib.percentile.argtypes = [f64p, c64, ctypes.c_double]
+    lib.compute_votes.argtypes = [f64p, i64p, i64p, u8p, c64, f64p, f64p]
+    lib.points_in_boxes.argtypes = [f32p, c64, f64p, c64, i32p]
+    _lib = lib
+    return lib
+
+
+def has_native() -> bool:
+    return _load() is not None
+
+
+def gather_rows(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    lib = _load()
+    idx = np.ascontiguousarray(idx, np.int64)
+    if lib is None:
+        return src[idx]
+    src = np.ascontiguousarray(src)
+    out = np.empty((len(idx),) + src.shape[1:], src.dtype)
+    flat_feat = int(np.prod(src.shape[1:])) if src.ndim > 1 else 1
+    if src.dtype == np.float64:
+        lib.gather_rows_f64(src.reshape(len(src), -1), idx,
+                            out.reshape(len(out), -1), len(idx), flat_feat)
+    elif src.dtype == np.float32:
+        lib.gather_rows_f32(src.reshape(len(src), -1), idx,
+                            out.reshape(len(out), -1), len(idx), flat_feat)
+    elif src.dtype == np.int64 and src.ndim == 1:
+        lib.gather_i64(src, idx, out, len(idx))
+    else:
+        return src[idx]
+    return out
+
+
+def percentile_z(values: np.ndarray, q: float) -> float:
+    lib = _load()
+    values = np.ascontiguousarray(values, np.float64)
+    if lib is None:
+        return float(np.percentile(values, q))
+    return float(lib.percentile(values, len(values), q))
+
+
+def compute_votes_native(xyz, ins, sem, nyu_ids):
+    lib = _load()
+    if lib is None:
+        return None
+    xyz = np.ascontiguousarray(xyz, np.float64)
+    ins = np.ascontiguousarray(ins, np.int64)
+    sem = np.ascontiguousarray(sem, np.int64)
+    valid = np.zeros(41, np.uint8)
+    valid[np.asarray(nyu_ids)] = 1
+    n = len(xyz)
+    votes = np.empty((n, 9), np.float64)
+    mask = np.empty(n, np.float64)
+    lib.compute_votes(xyz, ins, sem, valid, n, votes, mask)
+    return votes, mask
+
+
+def points_in_boxes_native(pc, lo, hi):
+    lib = _load()
+    if lib is None:
+        return None
+    pc = np.ascontiguousarray(pc, np.float32)
+    boxes = np.ascontiguousarray(
+        np.concatenate([lo, hi], axis=-1), np.float64
+    )
+    counts = np.empty(len(boxes), np.int32)
+    lib.points_in_boxes(pc, len(pc), boxes, len(boxes), counts)
+    return counts

@@ -130,13 +130,18 @@ def parse_predictions(ep: Dict[str, np.ndarray], config: Dict) -> List[List[Tupl
 
     nonempty = np.ones((bsize, k), bool)
     if config.get("remove_empty_box", False):
+        from spacap3d_tpu.data.native import points_in_boxes_native
+
         pc = np.asarray(ep["point_clouds"])[:, :, :3]    # (B, N, 3)
         for i in range(bsize):
-            inside = (
-                (pc[i][None, :, :] >= box_lo[i][:, None, :])
-                & (pc[i][None, :, :] <= box_hi[i][:, None, :])
-            ).all(-1)                                     # (K, N)
-            nonempty[i] = inside.sum(-1) >= 5             # "< 5 points" removed
+            counts = points_in_boxes_native(pc[i], box_lo[i], box_hi[i])
+            if counts is None:
+                inside = (
+                    (pc[i][None, :, :] >= box_lo[i][:, None, :])
+                    & (pc[i][None, :, :] <= box_hi[i][:, None, :])
+                ).all(-1)                                 # (K, N)
+                counts = inside.sum(-1)
+            nonempty[i] = counts >= 5                     # "< 5 points" removed
 
     pred_mask = np.zeros((bsize, k))
     thresh = config["nms_iou"]

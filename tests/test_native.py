@@ -1,0 +1,51 @@
+"""Native host-kernel tests: parity with the numpy implementations."""
+import numpy as np
+import pytest
+
+from spacap3d_tpu.data import native
+from spacap3d_tpu.data.dataset import compute_votes
+from spacap3d_tpu.data.scannet_config import ScannetDatasetConfig
+
+pytestmark = pytest.mark.skipif(not native.has_native(),
+                                reason="native lib unavailable")
+
+
+def test_gather_rows(rng):
+    src = rng.randn(100, 7)
+    idx = rng.randint(0, 100, 40).astype(np.int64)
+    np.testing.assert_array_equal(native.gather_rows(src, idx), src[idx])
+    src32 = src.astype(np.float32)
+    np.testing.assert_array_equal(native.gather_rows(src32, idx), src32[idx])
+
+
+def test_percentile_matches_numpy(rng):
+    v = rng.randn(5001)
+    for q in (0.99, 50.0, 99.0):
+        np.testing.assert_allclose(
+            native.percentile_z(v, q), np.percentile(v, q), rtol=1e-12
+        )
+
+
+def test_compute_votes_matches_numpy(rng):
+    dc = ScannetDatasetConfig()
+    n = 1000
+    xyz = rng.randn(n, 3)
+    ins = rng.randint(0, 7, n)
+    sem = np.where(ins % 2 == 0, 4, 1)
+    want_votes, want_mask = compute_votes(xyz, ins, sem, dc)
+    got = native.compute_votes_native(xyz, ins, sem, dc.nyu40ids)
+    assert got is not None
+    votes, mask = got
+    np.testing.assert_allclose(votes, want_votes, atol=1e-12)
+    np.testing.assert_array_equal(mask, want_mask)
+
+
+def test_points_in_boxes(rng):
+    pc = rng.rand(500, 3).astype(np.float32) * 4
+    lo = np.array([[0.0, 0.0, 0.0], [3.0, 3.0, 3.0]])
+    hi = np.array([[1.0, 1.0, 1.0], [4.0, 4.0, 4.0]])
+    counts = native.points_in_boxes_native(pc, lo, hi)
+    want = [
+        (((pc >= l) & (pc <= h)).all(-1)).sum() for l, h in zip(lo, hi)
+    ]
+    np.testing.assert_array_equal(counts, want)
