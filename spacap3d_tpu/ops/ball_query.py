@@ -32,8 +32,23 @@ import jax.numpy as jnp
 from jax import lax
 
 
+_N_CHUNK = 2048  # hierarchical selection tile along the point axis
+
+
 def _ball_query_chunk(centers, xyz, radius, nsample):
-    """centers: (C, 3), xyz: (N, 3) -> (C, nsample) int32."""
+    """centers: (C, 3), xyz: (N, 3) -> (C, nsample) int32.
+
+    Selection is hierarchical: per point-tile top-k (the first-k hits of a
+    tile are in its top-k keys), then a merge top-k over the tile winners —
+    O(N log ns) instead of one full-width O(N log N) top-k. Correct because
+    every global first-k hit is necessarily within its own tile's first-k.
+    """
+    if xyz.shape[0] > 2 * _N_CHUNK and xyz.shape[0] % _N_CHUNK:
+        # pad with far-away points (never hits, lowest-priority keys)
+        pad = _N_CHUNK - xyz.shape[0] % _N_CHUNK
+        xyz = jnp.concatenate(
+            [xyz, jnp.full((pad, 3), 1e6, xyz.dtype)], axis=0
+        )
     n = xyz.shape[0]
     # Squared distances via the MXU-friendly expansion.
     c2 = jnp.sum(centers * centers, axis=-1, keepdims=True)        # (C, 1)
@@ -43,8 +58,17 @@ def _ball_query_chunk(centers, xyz, radius, nsample):
 
     hit = d2 < radius * radius
     idx = lax.broadcasted_iota(jnp.int32, d2.shape, 1)              # (C, N)
+    # order-encoding key: hits sort above misses, both decreasing in index
     key = jnp.where(hit, 2 * n - idx, -idx)
-    topk, _ = lax.top_k(key, nsample)                               # (C, nsample)
+
+    c = centers.shape[0]
+    if n > 2 * _N_CHUNK and n % _N_CHUNK == 0:
+        nc = n // _N_CHUNK
+        per_tile, _ = lax.top_k(key.reshape(c, nc, _N_CHUNK),
+                                min(nsample, _N_CHUNK))             # (C, nc, ns)
+        topk, _ = lax.top_k(per_tile.reshape(c, -1), nsample)
+    else:
+        topk, _ = lax.top_k(key, nsample)                           # (C, nsample)
 
     found = topk >= n
     first_hit = jnp.where(found[:, :1], 2 * n - topk[:, :1], 0)     # (C, 1)
