@@ -37,6 +37,7 @@ from spacap3d_tpu.eval.detection import (
     parse_groundtruths,
     parse_predictions,
 )
+from spacap3d_tpu.eval.detection import softmax_np as _softmax_np
 
 
 def prepare_corpus(raw_data: List[dict], max_len: int = MAX_DES_LEN) -> Dict[str, List[str]]:
@@ -81,10 +82,16 @@ def feed_scene_cap(
     min_iou: float = EVAL_MIN_IOU,
     also_detection: bool = False,
     batch_to_device=None,
-) -> Tuple[Dict, Optional[APCalculator]]:
-    """Runs the jitted eval forward over the loader; returns candidates
-    (and an APCalculator fed from the same pass when also_detection)."""
+    attn_dump_step=None,
+    save_proposal: bool = False,
+) -> Tuple[Dict, Optional[APCalculator], Dict, Dict]:
+    """Runs the jitted eval forward over the loader; returns (candidates,
+    APCalculator when also_detection, attention intermediates, proposal
+    dumps) — the latter two mirror the reference's --save_*_attn /
+    --save_proposal outputs (lib/eval_helper.py:99-121, :224-243)."""
     candidates: Dict[str, List[str]] = {}
+    intermediates: Dict = {}
+    proposal_dump: Dict = {}
     post = dict(POST_DICT_DEFAULTS, dataset_config=dc)
     ap_calc = APCalculator(0.5, dc.class2type) if also_detection else None
 
@@ -118,9 +125,17 @@ def feed_scene_cap(
         ious = inter / (v1 + v2 - inter + 1e-8)
         good = ious > min_iou
 
+        enc_attn = dec_attn = None
+        if attn_dump_step is not None:
+            enc_attn, dec_attn = attn_dump_step(params, state, dev_batch,
+                                                out["lang_cap"])
+            enc_attn = np.asarray(enc_attn)
+            dec_attn = np.asarray(dec_attn)
+
         for b in range(bsize):
             ds_idx = int(batch["dataset_idx"][b])
             scene_id = dataset.annotations[ds_idx]["scene_id"]
+            any_valid = False
             for k in range(num_proposals):
                 if nms_mask[b, k] == 1 and good[b, k]:
                     object_id = str(int(detected_object_ids[b, k]))
@@ -131,8 +146,32 @@ def feed_scene_cap(
                         ]
                     except KeyError:
                         continue
+                    any_valid = True
                     key = f"{scene_id}|{object_id}|{object_name}"
-                    candidates[key] = [vocab.decode(captions[b, k])]
+                    caption_decoded = vocab.decode(captions[b, k])
+                    candidates[key] = [caption_decoded]
+                    if attn_dump_step is not None:
+                        entry = {"token": caption_decoded.split(" "),
+                                 "prop_id": k}
+                        if enc_attn.size:
+                            entry["encoder_attn_weights"] = enc_attn[:, b]
+                        if dec_attn.size:
+                            entry["decoder_attn_weights"] = dec_attn[
+                                :, b * num_proposals + k
+                            ]
+                        intermediates[key] = entry
+            if any_valid and save_proposal:
+                obj_prob = _softmax_np(out["objectness_scores"][b])[:, 1]
+                proposal_dump[scene_id] = {
+                    "obj_id": detected_object_ids[b],
+                    "obj_mask": np.asarray(out["bbox_mask"][b]),
+                    "ious": ious[b],
+                    "nms_mask": nms_mask[b],
+                    "box_corners": det_corners[b],
+                    "class": np.asarray(out["sem_cls"][b]),
+                    "objectness": obj_prob,
+                    "center": np.asarray(out["center"][b]),
+                }
 
         if ap_calc is not None:
             gts = parse_groundtruths(
@@ -145,7 +184,7 @@ def feed_scene_cap(
             )
             ap_calc.step(preds, gts)
 
-    return candidates, ap_calc
+    return candidates, ap_calc, intermediates, proposal_dump
 
 
 def organize_annotations(annotations: List[dict]) -> Dict:
@@ -179,6 +218,9 @@ def eval_cap(
     pred_path: Optional[str] = None,
     batch_to_device=None,
     meteor_jar: Optional[str] = None,
+    attn_dump_step=None,
+    save_proposal: bool = False,
+    dump_dir: Optional[str] = None,
 ):
     """Full caption (+ optional detection) evaluation pass."""
     if corpus_cache and os.path.exists(corpus_cache):
@@ -192,11 +234,21 @@ def eval_cap(
                 json.dump(corpus, f, indent=4)
 
     organized = organize_annotations(corpus_annotations)
-    candidates, ap_calc = feed_scene_cap(
+    candidates, ap_calc, intermediates, proposal_dump = feed_scene_cap(
         eval_step, params, state, dataset, loader, vocab, organized, dc,
         min_iou=min_iou, also_detection=also_detection,
         batch_to_device=batch_to_device,
+        attn_dump_step=attn_dump_step, save_proposal=save_proposal,
     )
+    if dump_dir and (intermediates or proposal_dump):
+        import pickle
+        os.makedirs(dump_dir, exist_ok=True)
+        if intermediates:
+            with open(os.path.join(dump_dir, "attn_weights.pkl"), "wb") as f:
+                pickle.dump(intermediates, f)
+        if proposal_dump:
+            with open(os.path.join(dump_dir, "proposal_related.pkl"), "wb") as f:
+                pickle.dump(proposal_dump, f)
     bleu, cider, rouge, meteor, candidates = score_captions(
         corpus, candidates, meteor_jar
     )

@@ -440,6 +440,52 @@ def _decode_step(model, cfg: ModelConfig, x, caches, pos, cross_kv):
     return out[:, 0], new_caches
 
 
+def captioner_attention_dump(
+    p: Params, s: State, cfg: ModelConfig,
+    ep: Dict[str, jnp.ndarray], tokens: jnp.ndarray,
+):
+    """Attention-weight dumps for analysis (parity with the reference's
+    --save_encoder_attn/--save_decoder_attn, lib/eval_helper.py:99-121).
+
+    tokens: (B, K, T) generated ids. Returns (enc_attn (L,B,h,K,K),
+    dec_attn (L, B*K, h, T', T')) where T' includes the object token in
+    early-guide mode. The decoder weights come from a teacher-forced
+    rerun over the generated tokens — identical to the last-step weights
+    of the reference's recompute-everything loop."""
+    model = p["model"]
+    rngs = RngStream(None)
+    obj_features = ep["aggregated_vote_features"]
+    b, k, c = obj_features.shape
+    r = b * k
+    src_mask = ep["bbox_mask"][:, None, :] != 0
+
+    enc_attn = []
+    if cfg.use_transformer_encoder:
+        x, _ = _src_embed(model, s, cfg, obj_features,
+                          _select_src_pos(cfg, ep), rngs, False, 0.1)
+        memory, _, enc_attn = _encode(model, cfg, x, src_mask, rngs, False, False)
+        obj_token = obj_features.reshape(r, 1, c) + memory.reshape(r, 1, c)
+    else:
+        memory = obj_features
+        obj_token = obj_features.reshape(r, 1, c)
+
+    t = tokens.shape[-1]
+    flat = tokens.reshape(r, t)
+    emb = _tgt_embed(model, cfg, flat, jnp.arange(t), rngs, False)
+    if cfg.early_guide:
+        dec_in = jnp.concatenate([obj_token, emb], axis=1)
+        mask = subsequent_mask(t + 1)
+        _, dec_attn = _decode_full(model, cfg, dec_in, memory, src_mask, mask,
+                                   rngs, False)
+    else:
+        mask = subsequent_mask(t)
+        _, dec_attn = _decode_full(model, cfg, emb, obj_token, None, mask,
+                                   rngs, False)
+    enc = jnp.stack(enc_attn) if enc_attn else jnp.zeros((0,))
+    dec = jnp.stack(dec_attn) if dec_attn else jnp.zeros((0,))
+    return enc, dec
+
+
 def captioner_eval(
     p: Params, s: State, cfg: ModelConfig,
     ep: Dict[str, jnp.ndarray],

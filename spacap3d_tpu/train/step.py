@@ -167,5 +167,27 @@ def make_eval_step(cfg: ModelConfig, mesh=None, with_caption_decode=True):
     return jax.jit(fwd)
 
 
+def make_attn_dump_step(cfg: ModelConfig):
+    """Jitted attention-weight dump: (params, state, batch, tokens) ->
+    (enc_attn, dec_attn). Reruns the detector + teacher-forced captioner
+    over the generated tokens (see captioner_attention_dump)."""
+    import dataclasses
+
+    from spacap3d_tpu.models.captioner import captioner_attention_dump
+
+    det_cfg = dataclasses.replace(cfg, no_caption=True)
+
+    @jax.jit
+    def dump(params, state, batch, tokens):
+        ep, _ = apply_spacap(
+            params, state, det_cfg, batch, is_eval=False, train=False, rng=None
+        )
+        return captioner_attention_dump(
+            params["caption"], state["caption"], cfg, ep, tokens
+        )
+
+    return dump
+
+
 def init_train_state(params, state, tx) -> TrainState:
     return TrainState(params, state, tx.init(params), jnp.int32(0))
