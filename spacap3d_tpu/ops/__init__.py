@@ -15,8 +15,10 @@ from spacap3d_tpu.ops.boxes import (  # noqa: F401
 )
 from spacap3d_tpu.ops.fps import (  # noqa: F401
     furthest_point_sample,
-    furthest_point_sample_pallas,
     furthest_point_sample_xla,
+)
+from spacap3d_tpu.ops.fps_pallas import (  # noqa: F401
+    furthest_point_sample_pallas,
 )
 from spacap3d_tpu.ops.grouping import gather_points, group_points  # noqa: F401
 from spacap3d_tpu.ops.interpolate import three_interpolate, three_nn  # noqa: F401

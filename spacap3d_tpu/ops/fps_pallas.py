@@ -96,12 +96,19 @@ def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int,
     np_pad = (-npoint) % _LANE
     m = npoint + np_pad
 
-    kernel = functools.partial(_fps_kernel, npoint=npoint, n=n, b=b)
+    # grid over batch tiles of 8 (sublane width) keeps VMEM bounded for
+    # any batch size
+    bt = _SUBLANE
+    kernel = functools.partial(_fps_kernel, npoint=npoint, n=n, b=bt)
     out = pl.pallas_call(
         kernel,
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ] * 3,
+        out_specs=pl.BlockSpec((bt, m), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, m), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x, y, z)
     return out[:b0, :npoint]
