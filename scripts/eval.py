@@ -92,8 +92,9 @@ def main(argv=None):
     params = np_to_jax(payload["params"])
     state = np_to_jax(payload["state"])
 
-    n_dev = len(jax.devices())
-    mesh = make_mesh() if n_dev > 1 else None
+    import math
+    n_dev = math.gcd(len(jax.devices()), min(args.batch_size, len(ds)))
+    mesh = make_mesh(jax.devices()[:n_dev]) if n_dev > 1 else None
     eval_step = make_eval_step(model_cfg, mesh=mesh)
     to_dev = (lambda b: shard_batch(mesh, b)) if mesh else None
 

@@ -69,7 +69,18 @@ def parse_args(argv=None):
                    help="path to a reference PRETRAIN_VOTENET .pth or a "
                         "native .ckpt to mount the detector from")
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--arch_preset", type=str, default="full",
+                   choices=["full", "tiny"],
+                   help="'tiny' shrinks the trunk/captioner for smoke tests")
     return p.parse_args(argv)
+
+
+TINY_ARCH = dict(
+    num_layers=2, num_heads=4, d_model=32, d_ff=64, max_des_len=7,
+    sa_npoints=(128, 64, 32, 16), sa_nsamples=(16, 8, 8, 4),
+    sa_widths=((16, 16, 32), (32, 32, 64), (32, 32, 64), (32, 32, 64)),
+    fp_width=64, seed_feature_dim=64, proposal_feature_dim=32,
+)
 
 
 def load_annotations(args):
@@ -104,18 +115,26 @@ def build_configs(args):
         use_multiview=args.use_multiview, augment=True,
         use_relation=not args.no_relation, num_workers=args.num_workers,
     )
+    arch = dict(
+        num_layers=args.N, num_heads=args.h,
+        d_model=args.d_model, d_ff=args.d_ff,
+    )
+    if args.arch_preset == "tiny":
+        arch.update(TINY_ARCH)
+        data = __import__("dataclasses").replace(
+            data, max_des_len=TINY_ARCH["max_des_len"]
+        )
     model = ModelConfig(
         num_points=args.num_points,
         input_feature_dim=data.input_feature_dim,
         num_proposals=args.num_proposals,
-        num_layers=args.N, num_heads=args.h,
-        d_model=args.d_model, d_ff=args.d_ff,
         transformer_dropout=args.transformer_dropout,
         src_pos_type=None if args.no_learnt_src_pos else args.src_pos_type,
         use_transformer_encoder=not args.no_enc,
         early_guide=not args.late_guide,
         check_relation=not args.no_relation,
         no_caption=args.no_caption,
+        **arch,
     )
     train = TrainConfig(
         batch_size=args.batch_size, epoch=args.epoch, lr=args.lr,
@@ -183,12 +202,15 @@ def main(argv=None):
     val_ds = ScanReferDataset(eval_val_list, val_store, vocab, dc,
                               val_data_cfg, split="val")
 
-    n_dev = len(jax.devices())
+    # mesh over the largest device count that divides the batch
+    import math
+
+    n_dev = math.gcd(len(jax.devices()), args.batch_size)
     batch = args.batch_size
-    assert batch % n_dev == 0 or n_dev == 1, (
-        f"batch size {batch} must divide over {n_dev} devices"
-    )
-    mesh = make_mesh() if n_dev > 1 else None
+    mesh = make_mesh(jax.devices()[:n_dev]) if n_dev > 1 else None
+    if n_dev < len(jax.devices()):
+        print(f"using {n_dev}/{len(jax.devices())} devices "
+              f"(batch {batch} divisibility)")
 
     train_loader = DataLoader(train_ds, batch, shuffle=True, seed=args.seed,
                               num_workers=args.num_workers)

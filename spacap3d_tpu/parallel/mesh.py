@@ -36,11 +36,14 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict, axis_name: str = "data") -> dict:
-    """Place a host batch dict onto the mesh, sharded along the batch dim."""
-    sh = batch_sharding(mesh, axis_name)
+    """Place a host batch dict onto the mesh, sharded along the batch dim.
+    Arrays whose leading dim does not divide the mesh (e.g. a short final
+    validation batch) are replicated instead."""
+    n = mesh.shape[axis_name]
 
     def put(x):
-        spec = P(axis_name) if np.ndim(x) >= 1 else P()
+        divisible = np.ndim(x) >= 1 and np.shape(x)[0] % n == 0
+        spec = P(axis_name) if divisible else P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return {k: put(v) for k, v in batch.items()}

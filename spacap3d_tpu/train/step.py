@@ -160,10 +160,9 @@ def make_eval_step(cfg: ModelConfig, mesh=None, with_caption_decode=True):
         )
         return {k: ep[k] for k in out_keys if k in ep}
 
-    if mesh is not None:
-        repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P("data"))
-        return jax.jit(fwd, in_shardings=(repl, repl, data), out_shardings=data)
+    # No explicit in_shardings: the computation follows the argument
+    # placement (shard_batch shards full batches over the mesh and
+    # replicates short final ones).
     return jax.jit(fwd)
 
 

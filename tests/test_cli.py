@@ -1,0 +1,61 @@
+"""CLI smoke tests: scripts/train.py + scripts/eval.py end-to-end on
+synthetic data with the tiny arch preset."""
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    from spacap3d_tpu.data.synthetic import write_synthetic_dataset
+
+    root = str(tmp_path_factory.mktemp("cli_data"))
+    anns, scene_ids = write_synthetic_dataset(root, num_scenes=2, seed=3)
+    # ScanRefer-layout annotation files: split by scene
+    train = [a for a in anns if a["scene_id"] == scene_ids[0]]
+    val = [a for a in anns if a["scene_id"] == scene_ids[1]]
+    with open(os.path.join(root, "ScanRefer_filtered_train.json"), "w") as f:
+        json.dump(train, f)
+    with open(os.path.join(root, "ScanRefer_filtered_val.json"), "w") as f:
+        json.dump(val, f)
+    return root
+
+
+def test_train_and_eval_cli(data_root, tmp_path):
+    import train as train_cli
+
+    out_dir = str(tmp_path / "outputs")
+    train_cli.main([
+        "--data_root", data_root, "--output_dir", out_dir,
+        "--arch_preset", "tiny", "--num_points", "1024",
+        "--num_proposals", "16", "--batch_size", "4", "--epoch", "1",
+        "--val_step", "3", "--verbose", "1", "--num_workers", "1",
+        "--tag", "smoke",
+    ])
+    runs = os.listdir(out_dir)
+    assert len(runs) == 1
+    run_root = os.path.join(out_dir, runs[0])
+    for f in ("config.json", "info.json", "log.txt", "model_last.ckpt",
+              "best.txt"):
+        assert os.path.exists(os.path.join(run_root, f)), f
+
+    import eval as eval_cli
+
+    ckpt = "model.ckpt" if os.path.exists(
+        os.path.join(run_root, "model.ckpt")) else "model_last.ckpt"
+    eval_cli.main([
+        "--folder", runs[0], "--data_root", data_root,
+        "--output_dir", out_dir, "--batch_size", "4", "--num_workers", "1",
+        "--checkpoint", ckpt, "--eval_tag", "smoke",
+    ])
+    csv_path = os.path.join(run_root, "smoke_results.csv")
+    assert os.path.exists(csv_path)
+    header = open(csv_path).readline()
+    for col in ("cider", "bleu-4", "rouge", "meteor", "mAP@0.5"):
+        assert col in header
