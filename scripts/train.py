@@ -176,10 +176,12 @@ def main(argv=None):
 
     vocab_cache = os.path.join(args.data_root, f"{args.dataset}_vocabulary.json")
     glove_path = os.path.join(args.data_root, "glove.p")
+    glove = None
     glove_vocab = None
     if os.path.exists(glove_path):
         import pickle
-        glove_vocab = set(pickle.load(open(glove_path, "rb")).keys())
+        glove = pickle.load(open(glove_path, "rb"))
+        glove_vocab = set(glove.keys())
     vocab = load_or_build_vocabulary(vocab_cache, train_anns, glove_vocab)
     run_cfg = dataclasses.replace(
         run_cfg, model=dataclasses.replace(run_cfg.model, vocab_size=len(vocab))
@@ -196,7 +198,7 @@ def main(argv=None):
         multiview_hdf5=mv,
     )
     train_ds = ScanReferDataset(train_anns, train_store, vocab, dc,
-                                run_cfg.data, split="train")
+                                run_cfg.data, split="train", glove=glove)
     val_data_cfg = dataclasses.replace(run_cfg.data, augment=False,
                                        use_relation=False)
     val_ds = ScanReferDataset(eval_val_list, val_store, vocab, dc,

@@ -145,6 +145,7 @@ class ScanReferDataset:
         dataset_config: ScannetDatasetConfig,
         cfg: DataConfig,
         split: str = "train",
+        glove: Optional[Dict[str, np.ndarray]] = None,
     ):
         self.annotations = list(annotations)
         self.scenes = scenes
@@ -153,6 +154,11 @@ class ScanReferDataset:
         self.cfg = cfg
         self.split = split
         self.scene_list = sorted({a["scene_id"] for a in self.annotations})
+        # Optional GloVe table: when present, items carry ``lang_feat``
+        # (300-d embeddings per caption token). Kept for API parity with
+        # the reference (lib/dataset.py:101-116) — its model never consumes
+        # them (SURVEY.md §2.2); ours doesn't either.
+        self.glove = glove
 
     def __len__(self):
         return len(self.annotations)
@@ -332,6 +338,16 @@ class ScanReferDataset:
             "ann_id": np.int64(int(ann.get("ann_id", 0))),
             "object_cat": np.int64(object_cat),
         }
+        if self.glove is not None:
+            emb = np.zeros((max_des + 2, 300), np.float32)
+            toks = ["sos"] + list(ann["token"][:max_des]) + ["eos"]
+            unk = self.glove.get("unk")
+            for i, tok in enumerate(toks):
+                vec = self.glove.get(tok, unk)
+                if vec is not None:
+                    emb[i] = vec
+            item["lang_feat"] = emb
+
         item.update(out_rel)
         return item
 

@@ -147,6 +147,26 @@ def aggregate_frames_maxpool(
     return agg
 
 
+def project_labels_majority(
+    points: np.ndarray,
+    frames: List[Dict[str, np.ndarray]],
+    helper: ProjectionHelper,
+    num_classes: int,
+) -> np.ndarray:
+    """Per-point semantic label by majority vote over frames — the visual
+    sanity check of reference scripts/project_multiview_labels.py (labels
+    replace features; overlaps resolved by vote instead of max-pool).
+    frames carry 'labels' (H, W) int instead of 'features'."""
+    votes = np.zeros((len(points), num_classes), np.int32)
+    for fr in frames:
+        valid, pix = helper.project_points(points, fr["depth"], fr["pose"])
+        lab = fr["labels"][pix[valid, 1], pix[valid, 0]]
+        np.add.at(votes, (np.where(valid)[0], lab), 1)
+    out = votes.argmax(1)
+    out[votes.sum(1) == 0] = 0
+    return out
+
+
 def write_multiview_hdf5(path: str, scene_features: Dict[str, np.ndarray]):
     import h5py
 

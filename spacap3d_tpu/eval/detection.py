@@ -93,6 +93,45 @@ def nms_3d_faster_samecls(boxes: np.ndarray, overlap_threshold: float, old_type=
                        cls=boxes[:, 7], union_eps=1e-8)
 
 
+def calc_iou(box_a, box_b):
+    """Center+size AABB IoU (reference utils/metric_util.py:98-121).
+    boxes: [cx, cy, cz, dx, dy, dz]."""
+    a_lo = np.asarray(box_a[:3]) - np.asarray(box_a[3:6]) / 2.0
+    a_hi = np.asarray(box_a[:3]) + np.asarray(box_a[3:6]) / 2.0
+    b_lo = np.asarray(box_b[:3]) - np.asarray(box_b[3:6]) / 2.0
+    b_hi = np.asarray(box_b[:3]) + np.asarray(box_b[3:6]) / 2.0
+    inter = np.prod(np.maximum(np.minimum(a_hi, b_hi) - np.maximum(a_lo, b_lo), 0))
+    va = np.prod(a_hi - a_lo)
+    vb = np.prod(b_hi - b_lo)
+    return inter / (va + vb - inter + 1e-8)
+
+
+def bbox_corner_dist_measure(crnr1, crnr2):
+    """Normalized corner-distance similarity (reference utils/pc_utils.py):
+    1 - mean corner distance / diagonal."""
+    crnr1 = np.asarray(crnr1).reshape(8, 3)
+    crnr2 = np.asarray(crnr2).reshape(8, 3)
+    dist = np.linalg.norm(crnr1 - crnr2, axis=1).mean()
+    diag = np.linalg.norm(crnr1[0] - crnr1[6])
+    return 1.0 - dist / (diag + 1e-8)
+
+
+def nms_crnr_dist(boxes, conf, overlap_threshold):
+    """Greedy NMS by corner-distance similarity (reference utils/nms.py:
+    152-168): suppress boxes whose similarity to the kept box exceeds the
+    threshold."""
+    order = list(np.argsort(conf))
+    pick = []
+    while order:
+        i = order.pop()
+        pick.append(i)
+        order = [
+            j for j in order
+            if bbox_corner_dist_measure(boxes[i], boxes[j]) <= overlap_threshold
+        ]
+    return pick
+
+
 def _nms_old(lo, hi, score, thresh):
     # old_type variant: overlap = inter / area[other]
     area = np.prod(hi - lo, axis=-1)

@@ -136,6 +136,27 @@ class Solver:
         self.start_epoch = payload["epoch"] + 1
 
     # ------------------------------------------------------------------
+    def profile(self, num_steps: int = 5, rng=None):
+        """Capture a jax.profiler device trace of a few train steps into
+        <run>/profile (the TPU-native upgrade of the reference's
+        hand-rolled wall-clock telemetry, lib/solver.py:464-505).
+        View with tensorboard or xprof."""
+        trace_dir = os.path.join(self.root, "profile")
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        batch = next(iter(self.train_loader))
+        dev_batch = self._to_device(batch)
+        # warmup/compile outside the trace
+        ts, _ = self.train_step(self.train_state, dev_batch, rng, 0.1)
+        with jax.profiler.trace(trace_dir):
+            for i in range(num_steps):
+                ts, _ = self.train_step(ts, dev_batch,
+                                        jax.random.fold_in(rng, i), 0.1)
+            jax.block_until_ready(ts.params)
+        self.train_state = ts
+        self.logger.log(f"profiler trace written to {trace_dir}")
+        return trace_dir
+
+    # ------------------------------------------------------------------
     def __call__(self, epochs: int, verbose: int = 1000):
         total_iters = len(self.train_loader) * epochs
         rng = jax.random.PRNGKey(self.tc.seed)

@@ -132,3 +132,22 @@ def test_iou_np():
     a = corners_from_minmax([0, 0, 0], [2, 2, 2])
     b = corners_from_minmax([1, 0, 0], [3, 2, 2])
     np.testing.assert_allclose(box3d_iou_np(a, b), 8 / 24, rtol=1e-6)
+
+
+def test_calc_iou_center_size():
+    from spacap3d_tpu.eval.detection import calc_iou
+    a = [0, 0, 0, 2, 2, 2]
+    b = [1, 0, 0, 2, 2, 2]
+    np.testing.assert_allclose(calc_iou(a, b), 4 / 12, rtol=1e-6)
+    np.testing.assert_allclose(calc_iou(a, a), 1.0, rtol=1e-6)
+
+
+def test_nms_crnr_dist():
+    from spacap3d_tpu.eval.detection import nms_crnr_dist
+    b1 = corners_from_minmax([0, 0, 0], [1, 1, 1]).reshape(-1)
+    b2 = corners_from_minmax([0.01, 0, 0], [1.01, 1, 1]).reshape(-1)  # near-dup
+    b3 = corners_from_minmax([5, 5, 5], [6, 6, 6]).reshape(-1)
+    boxes = np.stack([b1, b2, b3])
+    conf = np.array([0.9, 0.8, 0.7])
+    pick = nms_crnr_dist(boxes, conf, overlap_threshold=0.9)
+    assert sorted(pick) == [0, 2]  # near-duplicate suppressed
