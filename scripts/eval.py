@@ -38,6 +38,11 @@ def parse_args(argv=None):
     p.add_argument("--eval_tag", type=str, default="eval")
     p.add_argument("--min_iou", type=float, default=0.5)
     p.add_argument("--no_detection_eval", action="store_true")
+    p.add_argument("--detection_only", action="store_true",
+                   help="detection AP only (works for --no_caption ckpts)")
+    p.add_argument("--save_encoder_attn", action="store_true")
+    p.add_argument("--save_decoder_attn", action="store_true")
+    p.add_argument("--save_proposal", action="store_true")
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--checkpoint", type=str, default="model.ckpt")
     return p.parse_args(argv)
@@ -54,7 +59,7 @@ def main(argv=None):
     from spacap3d_tpu.data.loader import DataLoader
     from spacap3d_tpu.data.scannet_config import ScannetDatasetConfig
     from spacap3d_tpu.data.vocabulary import Vocabulary
-    from spacap3d_tpu.eval.eval_helper import eval_cap
+    from spacap3d_tpu.eval.eval_helper import eval_cap, eval_detection
     from spacap3d_tpu.parallel.mesh import make_mesh, shard_batch
     from spacap3d_tpu.train.step import make_eval_step
     from spacap3d_tpu.utils.checkpoint import load_checkpoint
@@ -76,9 +81,12 @@ def main(argv=None):
         e["scene_id"] = sid
         eval_list.append(e)
 
-    vocab = Vocabulary.load(
-        os.path.join(args.data_root, f"{args.dataset}_vocabulary.json")
-    )
+    vocab_path = os.path.join(args.data_root, f"{args.dataset}_vocabulary.json")
+    if os.path.exists(vocab_path):
+        vocab = Vocabulary.load(vocab_path)
+    else:
+        assert args.detection_only, f"vocabulary not found: {vocab_path}"
+        vocab = None
 
     data_cfg = dataclasses.replace(run_cfg.data, augment=False,
                                    use_relation=False, data_root=args.data_root)
@@ -98,19 +106,33 @@ def main(argv=None):
     eval_step = make_eval_step(model_cfg, mesh=mesh)
     to_dev = (lambda b: shard_batch(mesh, b)) if mesh else None
 
+    attn_dump_step = None
+    if args.save_encoder_attn or args.save_decoder_attn:
+        from spacap3d_tpu.train.step import make_attn_dump_step
+        attn_dump_step = make_attn_dump_step(model_cfg)
+
     seeds = range(args.num_seeds) if args.mul_eval else [args.seed]
     rows = []
     for seed in seeds:
         loader = DataLoader(ds, min(args.batch_size, len(ds)), shuffle=False,
                             seed=seed, num_workers=args.num_workers)
-        metrics, _ = eval_cap(
-            eval_step, params, state, ds, loader, vocab, dc, val_anns,
-            min_iou=args.min_iou,
-            also_detection=not args.no_detection_eval,
-            corpus_cache=os.path.join(root, "corpus_val.json"),
-            pred_path=os.path.join(root, f"pred_val_{args.eval_tag}_{seed}.json"),
-            batch_to_device=to_dev,
-        )
+        if args.detection_only:
+            det = eval_detection(eval_step, params, state, loader, dc,
+                                 ap_iou=args.min_iou, batch_to_device=to_dev)
+            metrics = {"mAP@0.5": det["mAP"], "AR@0.5": det["AR"]}
+        else:
+            metrics, _ = eval_cap(
+                eval_step, params, state, ds, loader, vocab, dc, val_anns,
+                min_iou=args.min_iou,
+                also_detection=not args.no_detection_eval,
+                corpus_cache=os.path.join(root, "corpus_val.json"),
+                pred_path=os.path.join(root, f"pred_val_{args.eval_tag}_{seed}.json"),
+                batch_to_device=to_dev,
+                attn_dump_step=attn_dump_step,
+                save_proposal=args.save_proposal,
+                dump_dir=os.path.join(root, f"dumps_{args.eval_tag}")
+                if (attn_dump_step or args.save_proposal) else None,
+            )
         row = {"seed": seed, **{k: v for k, v in metrics.items()
                                 if isinstance(v, (int, float))}}
         rows.append(row)
@@ -122,7 +144,7 @@ def main(argv=None):
         writer.writeheader()
         writer.writerows(rows)
 
-    if args.mul_eval:
+    if args.mul_eval and not args.detection_only:
         best = max(rows, key=lambda r: r["cider"])
         mean_cider = float(np.mean([r["cider"] for r in rows]))
         print(f"best seed {best['seed']}: CIDEr {best['cider']:.4f} "

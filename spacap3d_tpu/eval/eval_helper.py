@@ -187,6 +187,30 @@ def feed_scene_cap(
     return candidates, ap_calc, intermediates, proposal_dump
 
 
+def eval_detection(
+    eval_step, params, state, loader, dc: ScannetDatasetConfig,
+    ap_iou: float = 0.5, batch_to_device=None,
+) -> Dict:
+    """Detection-only evaluation (reference scripts/eval.py:176-244
+    eval_detection): parse predictions + groundtruths per batch, compute
+    VOC AP/AR. Works for no-caption (VoteNet-pretrain) checkpoints."""
+    post = dict(POST_DICT_DEFAULTS, dataset_config=dc)
+    calc = APCalculator(ap_iou, dc.class2type)
+    for batch in loader:
+        dev_batch = batch_to_device(batch) if batch_to_device else batch
+        out = eval_step(params, state, dev_batch)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        out["point_clouds"] = batch["point_clouds"]
+        preds = parse_predictions(out, post)
+        gts = parse_groundtruths(
+            {k: batch[k] for k in
+             ("box_label_mask", "sem_cls_label", "gt_box_corner_label")},
+            post,
+        )
+        calc.step(preds, gts)
+    return calc.compute_metrics()
+
+
 def organize_annotations(annotations: List[dict]) -> Dict:
     """Flat annotation list -> {scene: {obj: {ann: entry}}} (the layout of
     the reference's *_organized.json, scripts/organize_scanrefer.py)."""
