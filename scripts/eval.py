@@ -86,7 +86,7 @@ def main(argv=None):
         vocab = Vocabulary.load(vocab_path)
     else:
         assert args.detection_only, f"vocabulary not found: {vocab_path}"
-        vocab = None
+        vocab = Vocabulary.build(val_anns)  # tokens only feed the dataset
 
     data_cfg = dataclasses.replace(run_cfg.data, augment=False,
                                    use_relation=False, data_root=args.data_root)
