@@ -59,3 +59,13 @@ def test_train_and_eval_cli(data_root, tmp_path):
     header = open(csv_path).readline()
     for col in ("cider", "bleu-4", "rouge", "meteor", "mAP@0.5"):
         assert col in header
+
+    # mul_eval protocol: per-seed rows + best-CIDEr report
+    eval_cli.main([
+        "--folder", runs[0], "--data_root", data_root,
+        "--output_dir", out_dir, "--batch_size", "4", "--num_workers", "1",
+        "--checkpoint", ckpt, "--eval_tag", "mul", "--mul_eval",
+        "--num_seeds", "2", "--no_detection_eval",
+    ])
+    rows = open(os.path.join(run_root, "mul_results.csv")).readlines()
+    assert len(rows) == 3  # header + 2 seeds
