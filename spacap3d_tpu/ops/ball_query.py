@@ -9,19 +9,23 @@ Behavioral contract (reference lib/pointnet2/_ext_src/src/ball_query_gpu.cu:9-54
   * if no point is within the radius, the row stays all-zero
     (zero-initialized output, ball_query.cpp:19-21).
 
-TPU design: instead of the CUDA kernel's sequential O(N) scan per center,
-we compute distance rows on the MXU (||c-p||^2 = |c|^2 + |p|^2 - 2 c.p,
-the cross term is a (m,3)x(3,N) matmul) and select the first-k hits with a
-single ``lax.top_k`` over an order-encoding key:
-
-    key = 2N - idx   if hit   (range [N, 2N], decreasing in idx)
-    key = -idx       if miss  (range (-N, 0], always below every hit)
-
-``top_k(key, nsample)`` then yields exactly the first ``nsample`` hit
-indices in ascending index order (top_k is deterministic and sorts equal
-keys by position, but all keys here are distinct). Centers are processed
-in chunks so the (chunk, N) distance tile stays small enough to stream
-through VMEM.
+TPU design (profiling-driven; see git history for the discarded
+alternatives):
+  * distances via the MXU expansion ||c-p||^2 = |c|^2 + |p|^2 - 2 c.p
+    (cross term computed at HIGHEST precision — bf16 passes would
+    misclassify borderline hits);
+  * selection of the first-k hit indices is sort-free, gather-light and
+    scatter-free. ``lax.top_k`` lowers to a full variadic sort (~200 ms
+    for SA1), XLA ``cumsum``/``searchsorted`` lowerings were similarly
+    slow. Instead:
+      1. per-128-lane-tile inclusive prefix sums of the hit mask as a
+         triangular MXU matmul (integer counts are exact in bf16 passes);
+      2. cross-tile totals prefix-summed the same way;
+      3. each output slot s locates its tile by counting tiles whose
+         cumulative total is <= s (a tiny compare+reduce), then its
+         within-tile position by one aligned row-gather of that tile's
+         prefix row and another tiny compare+reduce.
+    Total cost is O(N) memory-bound work + O(ns * (nt + T)) per center.
 """
 from __future__ import annotations
 
@@ -31,49 +35,58 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+_TILE = 128  # lane width
 
-_N_CHUNK = 2048  # hierarchical selection tile along the point axis
+
+def _tri_inclusive(t: int) -> jnp.ndarray:
+    """tri[k, j] = 1.0 if k <= j (inclusive prefix-sum matmul operand)."""
+    i = lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    j = lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    return (i <= j).astype(jnp.float32)
 
 
 def _ball_query_chunk(centers, xyz, radius, nsample):
-    """centers: (C, 3), xyz: (N, 3) -> (C, nsample) int32.
-
-    Selection is hierarchical: per point-tile top-k (the first-k hits of a
-    tile are in its top-k keys), then a merge top-k over the tile winners —
-    O(N log ns) instead of one full-width O(N log N) top-k. Correct because
-    every global first-k hit is necessarily within its own tile's first-k.
-    """
-    if xyz.shape[0] > 2 * _N_CHUNK and xyz.shape[0] % _N_CHUNK:
-        # pad with far-away points (never hits, lowest-priority keys)
-        pad = _N_CHUNK - xyz.shape[0] % _N_CHUNK
-        xyz = jnp.concatenate(
-            [xyz, jnp.full((pad, 3), 1e6, xyz.dtype)], axis=0
-        )
+    """centers: (C, 3), xyz: (N, 3) -> (C, nsample) int32. N % 128 == 0."""
     n = xyz.shape[0]
-    # Squared distances via the MXU-friendly expansion.
+    c = centers.shape[0]
+    nt = n // _TILE
+
+    # ---- hit mask -----------------------------------------------------
     c2 = jnp.sum(centers * centers, axis=-1, keepdims=True)        # (C, 1)
     p2 = jnp.sum(xyz * xyz, axis=-1)[None, :]                       # (1, N)
-    cross = jnp.dot(centers, xyz.T, preferred_element_type=jnp.float32)
+    cross = jnp.dot(centers, xyz.T, precision=lax.Precision.HIGHEST)
     d2 = c2 + p2 - 2.0 * cross                                      # (C, N)
+    hit = (d2 < radius * radius).astype(jnp.float32)
 
-    hit = d2 < radius * radius
-    idx = lax.broadcasted_iota(jnp.int32, d2.shape, 1)              # (C, N)
-    # order-encoding key: hits sort above misses, both decreasing in index
-    key = jnp.where(hit, 2 * n - idx, -idx)
+    # ---- prefix sums (triangular matmuls on the MXU) -------------------
+    hit_t = hit.reshape(c, nt, _TILE)
+    within = jnp.dot(hit_t, _tri_inclusive(_TILE),
+                     preferred_element_type=jnp.float32)            # (C, nt, T)
+    tile_tot = within[:, :, -1]                                     # (C, nt)
+    tile_incl = jnp.dot(tile_tot, _tri_inclusive(nt),
+                        preferred_element_type=jnp.float32)         # (C, nt)
+    tile_excl = tile_incl - tile_tot
+    count = tile_incl[:, -1].astype(jnp.int32)                      # (C,)
 
-    c = centers.shape[0]
-    if n > 2 * _N_CHUNK and n % _N_CHUNK == 0:
-        nc = n // _N_CHUNK
-        per_tile, _ = lax.top_k(key.reshape(c, nc, _N_CHUNK),
-                                min(nsample, _N_CHUNK))             # (C, nc, ns)
-        topk, _ = lax.top_k(per_tile.reshape(c, -1), nsample)
-    else:
-        topk, _ = lax.top_k(key, nsample)                           # (C, nsample)
+    # ---- slot -> tile (count tiles with cumulative total <= s) ---------
+    targets = jnp.arange(nsample, dtype=jnp.float32)                # (ns,)
+    sel_tile = jnp.sum(
+        (tile_incl[:, None, :] <= targets[None, :, None]).astype(jnp.int32),
+        axis=-1,
+    )                                                               # (C, ns)
+    sel_tile = jnp.minimum(sel_tile, nt - 1)
 
-    found = topk >= n
-    first_hit = jnp.where(found[:, :1], 2 * n - topk[:, :1], 0)     # (C, 1)
-    out = jnp.where(found, 2 * n - topk, first_hit)                 # repeat-pad
-    return out.astype(jnp.int32)
+    # ---- slot -> within-tile position ----------------------------------
+    excl_at = jnp.take_along_axis(tile_excl, sel_tile, axis=1)      # (C, ns)
+    rank = targets[None, :] - excl_at                               # (C, ns)
+    rows = jnp.take_along_axis(within, sel_tile[..., None], axis=1)  # (C, ns, T)
+    sel_in = jnp.sum((rows <= rank[..., None]).astype(jnp.int32), axis=-1)
+    sel = sel_tile * _TILE + sel_in                                 # (C, ns)
+
+    # ---- repeat-padding semantics ---------------------------------------
+    valid = jnp.arange(nsample, dtype=jnp.int32)[None, :] < count[:, None]
+    first_hit = jnp.where(count[:, None] > 0, sel[:, :1], 0)
+    return jnp.where(valid, sel, first_hit).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -86,9 +99,17 @@ def ball_query(
 ) -> jnp.ndarray:
     """xyz: (B, N, 3), new_xyz: (B, m, 3) -> (B, m, nsample) int32.
 
-    Non-differentiable index op.
+    Non-differentiable index op. Centers are processed in chunks so the
+    (chunk, N) hit tile stays cache-resident.
     """
     b, m, _ = new_xyz.shape
+    # pad the point axis to the lane tile with far-away never-hit points
+    if xyz.shape[1] % _TILE:
+        pad = _TILE - xyz.shape[1] % _TILE
+        xyz = jnp.concatenate(
+            [xyz, jnp.full((b, pad, 3), 1e6, xyz.dtype)], axis=1
+        )
+
     chunk = min(chunk, m)
     pad = (-m) % chunk
     if pad:
@@ -100,7 +121,7 @@ def ball_query(
 
     def per_batch(centers_b, xyz_b):
         return lax.map(
-            lambda c: _ball_query_chunk(c, xyz_b, radius, nsample), centers_b
+            lambda cs: _ball_query_chunk(cs, xyz_b, radius, nsample), centers_b
         )
 
     out = jax.vmap(per_batch)(centers, xyz)  # (B, mc, chunk, nsample)
