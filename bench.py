@@ -78,11 +78,14 @@ def main():
     out = eval_forward(params, state, point_clouds, center_label)
     jax.block_until_ready(out)
 
+    # vary inputs per iteration (rules out any request-level caching in
+    # remote-execution setups) and keep every output alive until the end
     n_iters = 10
+    variants = [point_clouds + jnp.float32(i) * 1e-3 for i in range(n_iters)]
+    jax.block_until_ready(variants)
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = eval_forward(params, state, point_clouds, center_label)
-    jax.block_until_ready(out)
+    outs = [eval_forward(params, state, v, center_label) for v in variants]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
 
     scenes_per_sec = batch_size * n_iters / dt

@@ -100,12 +100,20 @@ def sa_module(
     new_xyz = ops.gather_points(xyz, inds)
 
     idx = ops.ball_query(xyz, new_xyz, cfg.radius, cfg.nsample)
-    grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
+    # single fused neighbor gather (xyz ++ features in one row) — two
+    # separate small-row gathers profiled ~2x slower on TPU
+    if features is not None:
+        cat = jnp.concatenate([xyz, features], axis=-1)
+        grouped_cat = ops.group_points(cat, idx)
+        grouped_xyz = grouped_cat[..., :3] - new_xyz[:, :, None, :]
+        grouped_feats = grouped_cat[..., 3:]
+    else:
+        grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
+        grouped_feats = None
     if cfg.normalize_xyz:
         grouped_xyz = grouped_xyz / cfg.radius
 
-    if features is not None:
-        grouped_feats = ops.group_points(features, idx)
+    if grouped_feats is not None:
         if cfg.use_xyz:
             grouped = jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
         else:

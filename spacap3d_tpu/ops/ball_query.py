@@ -56,11 +56,12 @@ def _ball_query_chunk(centers, xyz, radius, nsample):
     p2 = jnp.sum(xyz * xyz, axis=-1)[None, :]                       # (1, N)
     cross = jnp.dot(centers, xyz.T, precision=lax.Precision.HIGHEST)
     d2 = c2 + p2 - 2.0 * cross                                      # (C, N)
-    hit = (d2 < radius * radius).astype(jnp.float32)
+    # bf16 hit mask: 0/1 values and <=128-counts are exact in bf16 passes
+    hit = (d2 < radius * radius).astype(jnp.bfloat16)
 
     # ---- prefix sums (triangular matmuls on the MXU) -------------------
     hit_t = hit.reshape(c, nt, _TILE)
-    within = jnp.dot(hit_t, _tri_inclusive(_TILE),
+    within = jnp.dot(hit_t, _tri_inclusive(_TILE).astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)            # (C, nt, T)
     tile_tot = within[:, :, -1]                                     # (C, nt)
     tile_incl = jnp.dot(tile_tot, _tri_inclusive(nt),
@@ -77,10 +78,22 @@ def _ball_query_chunk(centers, xyz, radius, nsample):
     sel_tile = jnp.minimum(sel_tile, nt - 1)
 
     # ---- slot -> within-tile position ----------------------------------
-    excl_at = jnp.take_along_axis(tile_excl, sel_tile, axis=1)      # (C, ns)
+    # XLA's dynamic row-gather profiled ~5 GB/s here; select the tile's
+    # prefix row with a one-hot MXU matmul instead. Within-tile counts are
+    # <= 128 so bf16 passes are exact; the cross-tile offset (values up to
+    # N) is selected separately at HIGHEST precision.
+    onehot = (
+        lax.broadcasted_iota(jnp.int32, (c, nsample, nt), 2)
+        == sel_tile[..., None]
+    ).astype(jnp.float32)                                           # (C, ns, nt)
+    rows = jnp.einsum("cst,ctj->csj", onehot, within)               # (C, ns, T)
+    excl_at = jnp.einsum(
+        "cst,ct->cs", onehot, tile_excl, precision=lax.Precision.HIGHEST
+    )                                                               # (C, ns)
     rank = targets[None, :] - excl_at                               # (C, ns)
-    rows = jnp.take_along_axis(within, sel_tile[..., None], axis=1)  # (C, ns, T)
-    sel_in = jnp.sum((rows <= rank[..., None]).astype(jnp.int32), axis=-1)
+    sel_in = jnp.sum(
+        (rows <= rank[..., None]).astype(jnp.int32), axis=-1
+    )
     sel = sel_tile * _TILE + sel_in                                 # (C, ns)
 
     # ---- repeat-padding semantics ---------------------------------------
