@@ -65,6 +65,9 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     (~40x faster than the XLA fori_loop at 40k points -> 2048 samples);
     elsewhere (CPU tests) the XLA loop is used.
     """
+    # Non-differentiable by contract: cut the tangent path so the Pallas
+    # kernel (which has no AD rule) sees only known values under jax.grad.
+    xyz = jax.lax.stop_gradient(xyz)
     if jax.default_backend() == "tpu":
         from spacap3d_tpu.ops.fps_pallas import (
             furthest_point_sample_pallas as fps_pl,

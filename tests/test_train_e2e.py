@@ -114,3 +114,67 @@ def test_multichip_train_step(setup):
     leaf = jax.tree_util.tree_leaves(ts.params)[0]
     assert leaf.sharding.is_fully_replicated
     assert not dev_batch["point_clouds"].sharding.is_fully_replicated
+
+
+def test_detection_only_train_step(setup):
+    """VoteNet-pretraining mode (--no_caption): captionless model, det loss
+    only, MultiStep LR + BN momentum schedule path."""
+    import dataclasses as dc
+
+    _, _, ds, vocab, dcfg, cfg, _, _ = setup
+    det_cfg = dc.replace(cfg, no_caption=True)
+    params, state = init_spacap(jax.random.PRNGKey(3), det_cfg,
+                                dcfg.mean_size_arr)
+    tc = TrainConfig(batch_size=4, no_caption=True, use_relation=False)
+    dl = DataLoader(ds, batch_size=4, shuffle=False, num_workers=1)
+    batch = next(iter(dl))
+    tx = make_optimizer(params, tc, steps_per_epoch=10)
+    ts = init_train_state(params, state, tx)
+    step = make_train_step(det_cfg, tc, tx)
+    losses = []
+    for i in range(10):
+        ts, m = step(ts, batch, jax.random.PRNGKey(i), 0.5)  # scheduled BN momentum
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert min(losses[-3:]) < losses[0]
+    assert float(m["cap_loss"]) == 0.0
+
+
+def test_mount_detector_into_full_model(setup):
+    """Mounting a detector-only checkpoint into a full (captioned) model
+    must leave the captioner params untouched (reference train.py:158-181)."""
+    import os
+    ckpt = "/root/reference/pretrained/PRETRAIN_VOTENET_XYZ/model.pth"
+    if not os.path.exists(ckpt):
+        pytest.skip("no reference checkpoint")
+    import dataclasses as dc
+
+    from spacap3d_tpu.data.scannet_config import ScannetDatasetConfig
+    from spacap3d_tpu.utils.convert import load_reference_checkpoint
+
+    dcfg = ScannetDatasetConfig()
+    full_cfg = dc.replace(
+        MODEL_CFG,
+        sa_npoints=(2048, 1024, 512, 256), sa_nsamples=(64, 32, 16, 16),
+        sa_widths=((64, 64, 128), (128, 128, 256), (128, 128, 256),
+                   (128, 128, 256)),
+        fp_width=256, seed_feature_dim=256, proposal_feature_dim=128,
+        d_model=128, input_feature_dim=1, vocab_size=100,
+    )
+    params, state = init_spacap(jax.random.PRNGKey(0), full_cfg,
+                                dcfg.mean_size_arr)
+    cap_before = np.asarray(
+        params["caption"]["model"]["tgt_embed"]["lut"]["kernel"])
+    params2, state2, report = load_reference_checkpoint(ckpt, params, state)
+    import torch
+    sd = torch.load(ckpt, map_location="cpu")
+    want = sum(1 for k in sd if not k.endswith("num_batches_tracked"))
+    assert len(report["loaded"]) == want and not report["skipped"]
+    np.testing.assert_array_equal(
+        np.asarray(params2["caption"]["model"]["tgt_embed"]["lut"]["kernel"]),
+        cap_before,
+    )
+    # detector weights did change
+    a = np.asarray(params["backbone_net"]["sa1"]["mlp_module"]["layer0"]["conv"]["kernel"])
+    b = np.asarray(params2["backbone_net"]["sa1"]["mlp_module"]["layer0"]["conv"]["kernel"])
+    assert not np.array_equal(a, b)
