@@ -391,7 +391,25 @@ def captioner_train(
 # eval forward: KV-cached greedy decode
 # -----------------------------------------------------------------------------
 
-def _decode_step(model, cfg: ModelConfig, x, caches, pos, cross_kv):
+def _fuse_qkv(layer):
+    """Concatenate the q/k/v projections into one (d, 3d) matmul — hoisted
+    out of the decode scan so each step runs one projection instead of
+    three tiny ones."""
+    attn = layer["self_attn"]
+    return {
+        "kernel": jnp.concatenate(
+            [attn["linears0"]["kernel"], attn["linears1"]["kernel"],
+             attn["linears2"]["kernel"]], axis=1,
+        ),
+        "bias": jnp.concatenate(
+            [attn["linears0"]["bias"], attn["linears1"]["bias"],
+             attn["linears2"]["bias"]]
+        ),
+    }
+
+
+def _decode_step(model, cfg: ModelConfig, x, caches, pos, cross_kv,
+                 qkv_fused=None):
     """One decoder step for the newest token.
 
     x: (R, 1, d) input embedding; caches: list per layer of (k, v) with
@@ -400,6 +418,7 @@ def _decode_step(model, cfg: ModelConfig, x, caches, pos, cross_kv):
     Returns (hidden (R, d), new caches).
     """
     h = cfg.num_heads
+    d = cfg.d_model
     new_caches = []
     lmax = caches[0][0].shape[2]
     valid = (jnp.arange(lmax) <= pos)[None, None, None, :]  # (1,1,1,Lmax)
@@ -407,9 +426,15 @@ def _decode_step(model, cfg: ModelConfig, x, caches, pos, cross_kv):
         k_cache, v_cache = caches[li]
 
         xn = core.ref_layer_norm(layer["sublayer0"]["norm"], x)
-        q = split_heads(core.dense(layer["self_attn"]["linears0"], xn), h)
-        k_new = split_heads(core.dense(layer["self_attn"]["linears1"], xn), h)
-        v_new = split_heads(core.dense(layer["self_attn"]["linears2"], xn), h)
+        if qkv_fused is not None:
+            qkv = core.dense(qkv_fused[li], xn)
+            q = split_heads(qkv[..., :d], h)
+            k_new = split_heads(qkv[..., d:2 * d], h)
+            v_new = split_heads(qkv[..., 2 * d:], h)
+        else:
+            q = split_heads(core.dense(layer["self_attn"]["linears0"], xn), h)
+            k_new = split_heads(core.dense(layer["self_attn"]["linears1"], xn), h)
+            v_new = split_heads(core.dense(layer["self_attn"]["linears2"], xn), h)
         k_cache = lax.dynamic_update_slice(k_cache, k_new, (0, 0, pos, 0))
         v_cache = lax.dynamic_update_slice(v_cache, v_new, (0, 0, pos, 0))
         new_caches.append((k_cache, v_cache))
@@ -533,10 +558,13 @@ def captioner_eval(
             cv = split_heads(core.dense(layer["src_attn"]["linears2"], obj_token), h)
             cross_kv.append((ck, cv))
 
+    qkv_fused = [_fuse_qkv(layer) for layer in model["decoder"]["layers"]]
+
     offset = 0
     if cfg.early_guide:
         # warm-up step: process the object token at cache position 0
-        _, caches = _decode_step(model, cfg, obj_token, caches, jnp.int32(0), cross_kv)
+        _, caches = _decode_step(model, cfg, obj_token, caches, jnp.int32(0),
+                                 cross_kv, qkv_fused)
         offset = 1
 
     def flatten(cs):
@@ -549,7 +577,8 @@ def captioner_eval(
         token, flat_caches = carry
         emb = _tgt_embed(model, cfg, token[:, None], i[None], rngs, False)  # (R,1,d)
         hid, new_caches = _decode_step(
-            model, cfg, emb, unflatten(flat_caches), i + offset, cross_kv
+            model, cfg, emb, unflatten(flat_caches), i + offset, cross_kv,
+            qkv_fused,
         )
         logp = _generator(model, hid)
         nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
