@@ -52,7 +52,10 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, *, npoint: int, n: int, b: int):
         d = (x - px) ** 2 + (y - py) ** 2 + (z - pz) ** 2
         mind = jnp.where(valid, jnp.minimum(mind, d), mind)
         score = jnp.where(valid, mind, -1.0)
-        nxt = jnp.argmax(score, axis=1).astype(jnp.int32)
+        # first-index argmax via compare + min-index (jnp.argmax hits a
+        # Mosaic f32->i32 materialization bug at single-lane-tile shapes)
+        best = jnp.max(score, axis=1, keepdims=True)
+        nxt = jnp.min(jnp.where(score == best, col, n), axis=1).astype(jnp.int32)
         # dynamic-column store is not lane-aligned on TPU: carry the pick
         # matrix through the loop and store once at the end instead
         picks = jnp.where(col_m == i, nxt[:, None], picks)
