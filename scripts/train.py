@@ -203,6 +203,11 @@ def main(argv=None):
                                        use_relation=False)
     val_ds = ScanReferDataset(eval_val_list, val_store, vocab, dc,
                               val_data_cfg, split="val")
+    train_eval_ds = None
+    if args.eval_on_train:
+        eval_train_list = one_per_scene(train_anns, train_scenes, train_anns[0])
+        train_eval_ds = ScanReferDataset(eval_train_list, train_store, vocab,
+                                         dc, val_data_cfg, split="train_eval")
 
     # mesh over the largest device count that divides the batch
     import math
@@ -218,6 +223,12 @@ def main(argv=None):
                               num_workers=args.num_workers)
     val_loader = DataLoader(val_ds, min(batch, len(val_ds)), shuffle=False,
                             num_workers=args.num_workers)
+    train_eval_loader = None
+    if train_eval_ds is not None:
+        train_eval_loader = DataLoader(
+            train_eval_ds, min(batch, len(train_eval_ds)), shuffle=False,
+            num_workers=args.num_workers,
+        )
 
     params, state = init_spacap(
         jax.random.PRNGKey(args.seed), run_cfg.model, dc.mean_size_arr
@@ -247,6 +258,9 @@ def main(argv=None):
         run_cfg, params, state, train_loader, val_loader, train_ds, val_ds,
         vocab, dc, eval_val_anns_full, stamp, mesh=mesh,
         eval_on_train=args.eval_on_train,
+        train_eval_loader=train_eval_loader,
+        train_eval_dataset=train_eval_ds,
+        train_corpus_annotations=train_anns,
     )
     if args.use_checkpoint:
         solver.restore(os.path.join(args.output_dir, args.use_checkpoint,

@@ -58,6 +58,9 @@ class Solver:
         checkpoint_best: Optional[Dict] = None,
         eval_on_train: bool = False,
         meteor_jar: Optional[str] = None,
+        train_eval_loader=None,
+        train_eval_dataset=None,
+        train_corpus_annotations=None,
     ):
         self.cfg = run_cfg
         self.tc = run_cfg.train
@@ -74,6 +77,9 @@ class Solver:
         self.start_epoch = start_epoch
         self.eval_on_train = eval_on_train
         self.meteor_jar = meteor_jar
+        self.train_eval_loader = train_eval_loader
+        self.train_eval_dataset = train_eval_dataset
+        self.train_corpus_annotations = train_corpus_annotations
 
         self.root = os.path.join(run_cfg.output_dir, stamp)
         self.logger = RunLogger(self.root)
@@ -216,6 +222,22 @@ class Solver:
     def _validate(self, epoch):
         if self.tc.no_caption or self.val_loader is None:
             return
+        # optional eval on the train split (reference --eval_on_train,
+        # lib/solver.py:511-540 runs eval_cap on both loaders)
+        if self.eval_on_train and self.train_eval_loader is not None:
+            self.logger.log("evaluating on train split...")
+            train_metrics, _ = eval_cap(
+                self.eval_step, self.train_state.params, self.train_state.state,
+                self.train_eval_dataset, self.train_eval_loader, self.vocab,
+                self.dc, self.train_corpus_annotations,
+                corpus_cache=os.path.join(self.root, "corpus_train.json"),
+                pred_path=os.path.join(self.root, "pred_train.json"),
+                batch_to_device=self._to_device,
+                meteor_jar=self.meteor_jar,
+            )
+            for k, v in train_metrics.items():
+                if isinstance(v, (int, float)):
+                    self.logger.scalar("train", f"eval_{k}", v, self.global_iter)
         self.logger.log("validating...")
         metrics, _ = eval_cap(
             self.eval_step, self.train_state.params, self.train_state.state,
