@@ -170,3 +170,18 @@ def test_gather_and_group(rng):
     gout = np.asarray(ops.group_points(pts, gidx))
     for b in range(2):
         np.testing.assert_array_equal(gout[b], np.asarray(pts)[b][np.asarray(gidx)[b]])
+
+
+def test_fps_pallas_interpret_matches_xla(rng):
+    """The Pallas FPS kernel (interpret mode on CPU) must match the XLA
+    oracle, including the mag-skip and batch-tiling paths."""
+    from spacap3d_tpu.ops.fps_pallas import furthest_point_sample_pallas
+
+    for b, n, m in [(2, 300, 64), (9, 256, 32)]:  # 9 exercises sublane pad
+        xyz = rng.randn(b, n, 3).astype(np.float32) * 2
+        xyz[0, 5] = 0.0
+        got = np.asarray(
+            furthest_point_sample_pallas(jnp.asarray(xyz), m, True)
+        )
+        want = np.asarray(ops.furthest_point_sample_xla(jnp.asarray(xyz), m))
+        np.testing.assert_array_equal(got, want)

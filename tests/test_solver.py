@@ -68,3 +68,21 @@ def test_solver_epoch_with_validation(world, tmp_path):
     a = np.asarray(jax.tree_util.tree_leaves(solver.train_state.params)[0])
     b = np.asarray(jax.tree_util.tree_leaves(solver2.train_state.params)[0])
     np.testing.assert_array_equal(a, b)
+
+
+def test_solver_profile_capture(world, tmp_path):
+    import glob
+
+    root, anns, train_ds, val_ds, vocab, dc, model_cfg = world
+    out_dir = str(tmp_path / "prof_out")
+    tc = TrainConfig(batch_size=4, epoch=1, val_step=0, use_relation=True)
+    run_cfg = RunConfig(model=model_cfg, train=tc,
+                        data=DataConfig(data_root=root, max_des_len=7),
+                        output_dir=out_dir)
+    params, state = init_spacap(jax.random.PRNGKey(1), model_cfg,
+                                dc.mean_size_arr)
+    train_loader = DataLoader(train_ds, 4, shuffle=False, num_workers=1)
+    solver = Solver(run_cfg, params, state, train_loader, None, train_ds,
+                    None, vocab, dc, anns, stamp="profrun")
+    trace_dir = solver.profile(num_steps=2)
+    assert glob.glob(trace_dir + "/**/*.xplane.pb", recursive=True)
