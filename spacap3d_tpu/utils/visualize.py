@@ -132,3 +132,16 @@ def export_axis_aligned_mesh(scan_dir: str, scene_id: str, out_path: str):
     if "red" in verts.dtype.names:
         colors = np.stack([verts["red"], verts["green"], verts["blue"]], 1)
     write_ply(xyz, out_path, colors)
+
+
+def write_obj(points: np.ndarray, path: str, colors: Optional[np.ndarray] = None):
+    """Vertex-only .obj writer (reference utils/pc_utils.py export style;
+    used by the scene data-integrity check, data/scannet/visualize.py)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for i in range(len(points)):
+            row = f"v {points[i, 0]} {points[i, 1]} {points[i, 2]}"
+            if colors is not None:
+                c = colors[i] / 255.0
+                row += f" {c[0]} {c[1]} {c[2]}"
+            f.write(row + "\n")
