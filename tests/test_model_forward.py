@@ -126,3 +126,16 @@ def test_eval_decode_matches_full_recompute(rng):
         ys = np.concatenate([ys, nxt[:, None]], axis=1)
     want = ys[:, 1:].reshape(b, k, -1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_forward_no_features(rng):
+    """--no_height with xyz-only input: input_feature_dim=0, SA1 consumes
+    raw grouped coordinates (reference backbone use_xyz path)."""
+    cfg = dataclasses.replace(TINY, input_feature_dim=0, check_relation=False)
+    params, state = init_spacap(jax.random.PRNGKey(0), cfg, _mean_sizes(cfg))
+    batch = tiny_batch(rng, cfg)
+    assert batch["point_clouds"].shape[-1] == 3
+    ep, _ = make_forward(cfg, is_eval=False, train=True)(
+        params, state, batch, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(np.asarray(ep["lang_cap"])).all()
