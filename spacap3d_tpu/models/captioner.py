@@ -586,7 +586,8 @@ def captioner_eval(
 
     init_token = jnp.full((r,), SOS_ID, jnp.int32)
     (_, _), tokens = lax.scan(
-        step, (init_token, flatten(caches)), jnp.arange(n_steps, dtype=jnp.int32)
+        step, (init_token, flatten(caches)),
+        jnp.arange(n_steps, dtype=jnp.int32),
     )
     # tokens: (n_steps, R) -> (B, K, n_steps)
     out_tokens = tokens.T.reshape(b, k, n_steps)
