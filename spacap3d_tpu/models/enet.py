@@ -79,7 +79,7 @@ def init_bottleneck(key, cin, cout, *, internal_ratio=4, downsample=False,
                     dilation=1, asymmetric=False):
     internal = cin // internal_ratio if not downsample else cin // internal_ratio
     keys = iter(jax.random.split(key, 12))
-    p: Dict[str, Any] = {"type": None}
+    p: Dict[str, Any] = {}
     s: Dict[str, Any] = {}
 
     def bn(ch, name):

@@ -45,11 +45,12 @@ def convert_enet_state_dict(sd: Dict[str, np.ndarray], params, state):
 
     import jax
 
+    # Flatten from the ORIGINAL trees: jax.tree_map re-sorts dict keys,
+    # which would break the positional (definition-order) alignment with
+    # the torch state dict's registration order.
+    ours = _flatten_ordered(params) + _flatten_ordered(state)
     params = copy.deepcopy(jax.tree_util.tree_map(np.asarray, params))
     state = copy.deepcopy(jax.tree_util.tree_map(np.asarray, state))
-
-    # Build the ordered list of our leaves that expect torch weights.
-    ours = _flatten_ordered(params) + _flatten_ordered(state)
 
     def shape_for(leaf):
         return tuple(np.shape(leaf))
