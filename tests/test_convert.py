@@ -91,3 +91,43 @@ def test_converted_detector_forward_finite(converted, rng):
     # objectness should not be degenerate (all one class) on random input is
     # possible, but scores must vary across proposals
     assert np.std(np.asarray(ep["objectness_scores"])) > 1e-4
+
+
+ALL_CKPTS = [
+    "PRETRAIN_VOTENET_XYZ", "PRETRAIN_VOTENET_XYZ_COLOR",
+    "PRETRAIN_VOTENET_XYZ_COLOR_NORMAL", "PRETRAIN_VOTENET_XYZ_MULTIVIEW",
+    "PRETRAIN_VOTENET_XYZ_MULTIVIEW_NORMAL", "XYZ_COLOR_NORMAL_MASK_VOTENET",
+    "XYZ_MULTIVIEW_NORMAL_MASK_VOTENET",
+    "XYZ_MULTIVIEW_NORMAL_MASK_VOTENET_SCANNET",
+]
+
+
+@pytest.mark.parametrize("name", ALL_CKPTS)
+def test_all_shipped_checkpoints_convert(name):
+    """Every shipped reference VoteNet (all input-feature variants) must
+    convert fully; the input dim is derived from the sa1 conv shape."""
+    path = f"/root/reference/pretrained/{name}/model.pth"
+    if not os.path.exists(path):
+        pytest.skip("missing checkpoint")
+    sd = load_torch_state_dict(path)
+    in_dim = sd["backbone_net.sa1.mlp_module.layer0.conv.weight"].shape[1] - 3
+    cfg = dataclasses.replace(DET_CFG, input_feature_dim=int(in_dim))
+    dc = ScannetDatasetConfig()
+    params, state = init_spacap(jax.random.PRNGKey(0), cfg, dc.mean_size_arr)
+    params, state, report = convert_state_dict(sd, params, state)
+    detector_keys = [k for k in sd if not k.endswith("num_batches_tracked")
+                     and k.split(".")[0] in ("backbone_net", "vgen", "proposal")]
+    # the MASK_VOTENET artifacts (Scan2Cap-era) carry a 93-channel final
+    # head (different class config) — the converter must partial-load the
+    # trunk and report exactly that head as mismatched
+    head = {"proposal.proposal.6.weight", "proposal.proposal.6.bias"}
+    out_dim = sd["proposal.proposal.6.weight"].shape[0]
+    expect = detector_keys if out_dim == 97 else [
+        k for k in detector_keys if k not in head
+    ]
+    assert sorted(k for k in report["loaded"]
+                  if k.split(".")[0] in ("backbone_net", "vgen", "proposal")
+                  ) == sorted(expect)
+    bad = [s for s in report["skipped"]
+           if s.split(" ")[0] in set(detector_keys) - head]
+    assert not bad, bad[:5]
