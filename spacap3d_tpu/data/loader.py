@@ -58,6 +58,15 @@ class DataLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         indices = self._indices()
         batches = indices.reshape(-1, self.batch_size)
+        # Rows appended by the wrap-around pad are duplicates of already-
+        # emitted items; mark them so eval does not double-count scenes
+        # (the reference ran a ragged final batch and had no duplicates,
+        # scripts/eval.py:46 — DataLoader without padding).
+        valid = np.ones(indices.shape[0], bool)
+        n = len(self.dataset)
+        if not self.drop_last and n % self.batch_size:
+            valid[n:] = False
+        valid = valid.reshape(-1, self.batch_size)
         epoch = self.epoch
         self.epoch += 1
 
@@ -77,7 +86,9 @@ class DataLoader:
                     if stop.is_set():
                         break
                     items = list(pool.map(build_item, enumerate(batch_idx)))
-                    q.put(stack_batch(items))
+                    batch = stack_batch(items)
+                    batch["__valid__"] = valid[b]
+                    q.put(batch)
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)

@@ -102,6 +102,10 @@ def feed_scene_cap(
 
         captions = out["lang_cap"]                       # (B, K, T) int
         bsize, num_proposals = captions.shape[:2]
+        # Rows padded by the loader's wrap-around are duplicates of scenes
+        # already evaluated; skip them everywhere (candidates, dumps, AP)
+        # so metrics match the reference's ragged-batch protocol.
+        valid = np.asarray(batch.get("__valid__", np.ones(bsize, bool))).astype(bool)
 
         ep_host = dict(out)
         ep_host["point_clouds"] = batch["point_clouds"]
@@ -133,6 +137,8 @@ def feed_scene_cap(
             dec_attn = np.asarray(dec_attn)
 
         for b in range(bsize):
+            if not valid[b]:
+                continue
             ds_idx = int(batch["dataset_idx"][b])
             scene_id = dataset.annotations[ds_idx]["scene_id"]
             any_valid = False
@@ -182,7 +188,10 @@ def feed_scene_cap(
                 },
                 post,
             )
-            ap_calc.step(preds, gts)
+            ap_calc.step(
+                [p for p, v in zip(preds, valid) if v],
+                [g for g, v in zip(gts, valid) if v],
+            )
 
     return candidates, ap_calc, intermediates, proposal_dump
 
@@ -207,7 +216,13 @@ def eval_detection(
              ("box_label_mask", "sem_cls_label", "gt_box_corner_label")},
             post,
         )
-        calc.step(preds, gts)
+        valid = np.asarray(
+            batch.get("__valid__", np.ones(len(preds), bool))
+        ).astype(bool)
+        calc.step(
+            [p for p, v in zip(preds, valid) if v],
+            [g for g, v in zip(gts, valid) if v],
+        )
     return calc.compute_metrics()
 
 

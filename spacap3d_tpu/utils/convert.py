@@ -103,6 +103,12 @@ def _map_key(key: str):
 
     # ---- captioner ----------------------------------------------------------
     if parts[0] == "caption":
+        if parts[-1] == "pe":
+            # sinusoidal PositionalEncoding buffer (tgt_embed.1.pe /
+            # src_embed.pe) — deterministic, recomputed on the fly
+            # (captioner.sinusoid_pe); parity covered by
+            # tests/test_captioner_reference_parity.py
+            return None
         if parts[1] == "relation_proposal":
             idx, leaf = parts[2], parts[3]
             name = {"0": "l0", "2": "l2", "4": "l4"}[idx]

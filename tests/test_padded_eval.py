@@ -1,0 +1,121 @@
+"""Padded-final-batch correctness: the loader wraps indices to keep batch
+shapes static for XLA; wrapped rows are duplicates of already-evaluated
+scenes and must not be double-counted in caption candidates or detection
+AP (the reference ran a ragged final batch, scripts/eval.py:46, so it had
+no such duplicates to mask).
+
+Uses a deterministic stub eval_step (outputs are a pure function of the
+batch contents) so a padded run (3 scenes, batch 2 -> 1 wrapped row) must
+produce *identical* metrics to a divisible run (batch 3) on the same data.
+"""
+import json
+
+import numpy as np
+import pytest
+
+from spacap3d_tpu.config import DataConfig
+from spacap3d_tpu.data.dataset import ScanReferDataset, SceneStore
+from spacap3d_tpu.data.loader import DataLoader
+from spacap3d_tpu.data.scannet_config import ScannetDatasetConfig
+from spacap3d_tpu.data.synthetic import write_synthetic_dataset
+from spacap3d_tpu.data.vocabulary import Vocabulary
+from spacap3d_tpu.eval.eval_helper import eval_cap, eval_detection
+
+NUM_PROPOSALS = 12
+
+
+def _stub_eval_step(params, state, batch):
+    """Deterministic per-row outputs derived from batch labels: proposals
+    sit near GT boxes (plus an idx-keyed jitter), so identical rows give
+    identical predictions regardless of batch composition."""
+    batch = {k: np.asarray(v) for k, v in batch.items()}
+    corners_gt = batch["gt_box_corner_label"]            # (B, M, 8, 3)
+    bsize, m = corners_gt.shape[:2]
+    k = NUM_PROPOSALS
+    assign = np.tile(np.arange(k) % m, (bsize, 1))       # (B, K)
+    out_corners = np.take_along_axis(
+        corners_gt, assign[:, :, None, None], axis=1
+    ).copy()                                             # (B, K, 8, 3)
+    lang = np.zeros((bsize, k, 7), np.int64)
+    for b in range(bsize):
+        r = np.random.RandomState(int(batch["dataset_idx"][b]) + 17)
+        out_corners[b] += r.randn(k, 1, 3) * 0.01
+        lang[b] = r.randint(4, 10, size=(k, 7))
+    lang[..., -1] = 3  # eos
+    obj = np.zeros((bsize, k, 2), np.float32)
+    obj[..., 1] = 3.0  # confident objectness
+    sem = np.take_along_axis(batch["sem_cls_label"], assign, axis=1)
+    sem_scores = np.full((bsize, k, 18), -4.0, np.float32)
+    np.put_along_axis(sem_scores, sem[:, :, None], 4.0, axis=2)
+    return {
+        "lang_cap": lang,
+        "bbox_corner": out_corners.astype(np.float32),
+        "bbox_mask": np.ones((bsize, k), np.int32),
+        "objectness_scores": obj,
+        "sem_cls_scores": sem_scores,
+        "sem_cls": sem,
+        "center": out_corners.mean(2).astype(np.float32),
+        "object_assignment": assign.astype(np.int32),
+        "objectness_label": np.ones((bsize, k), np.int32),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("padeval"))
+    anns, scene_ids = write_synthetic_dataset(root, num_scenes=3, seed=7)
+    data_cfg = DataConfig(data_root=root, num_points=512, augment=False,
+                          use_relation=False, max_des_len=7)
+    dc = ScannetDatasetConfig()
+    scenes = SceneStore(data_cfg.scannet_data, scene_ids, load_relations=False)
+    vocab = Vocabulary.build(anns, max_len=7)
+    # eval-style list: one annotation per scene (reference eval.py:97-117)
+    eval_list = []
+    seen = set()
+    for a in anns:
+        if a["scene_id"] not in seen:
+            seen.add(a["scene_id"])
+            eval_list.append(a)
+    ds = ScanReferDataset(eval_list, scenes, vocab, dc, data_cfg, split="val")
+    assert len(ds) == 3
+    return ds, vocab, dc, anns
+
+
+def _scalar_metrics(metrics):
+    return {k: v for k, v in metrics.items() if isinstance(v, (int, float))}
+
+
+def test_loader_valid_mask(setup):
+    ds, *_ = setup
+    dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+    batches = list(dl)
+    assert len(batches) == 2
+    np.testing.assert_array_equal(batches[0]["__valid__"], [True, True])
+    np.testing.assert_array_equal(batches[1]["__valid__"], [True, False])
+    # the wrapped row duplicates item 0
+    assert batches[1]["dataset_idx"][1] == batches[0]["dataset_idx"][0]
+
+
+def test_padded_eval_cap_matches_divisible(setup):
+    ds, vocab, dc, anns = setup
+    runs = []
+    for bs in (3, 2):  # 3 divides; 2 pads the final batch with 1 duplicate
+        dl = DataLoader(ds, batch_size=bs, shuffle=False, num_workers=1)
+        metrics, candidates = eval_cap(
+            _stub_eval_step, None, None, ds, dl, vocab, dc, anns,
+            min_iou=0.5, also_detection=True,
+        )
+        runs.append((_scalar_metrics(metrics), candidates))
+    (m_div, c_div), (m_pad, c_pad) = runs
+    assert c_div == c_pad
+    assert json.dumps(m_div, sort_keys=True) == json.dumps(m_pad, sort_keys=True)
+
+
+def test_padded_eval_detection_matches_divisible(setup):
+    ds, _, dc, _ = setup
+    runs = []
+    for bs in (3, 2):
+        dl = DataLoader(ds, batch_size=bs, shuffle=False, num_workers=1)
+        det = eval_detection(_stub_eval_step, None, None, dl, dc, ap_iou=0.5)
+        runs.append({k: float(v) for k, v in det.items()})
+    assert runs[0] == runs[1]
