@@ -34,6 +34,9 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--mul_eval", action="store_true")
+    p.add_argument("--serial_mul_eval", action="store_true",
+                   help="run mul_eval seeds serially (the reference protocol "
+                        "loop) instead of the sharded seed-x-scene grid")
     p.add_argument("--num_seeds", type=int, default=100)
     p.add_argument("--eval_tag", type=str, default="eval")
     p.add_argument("--min_iou", type=float, default=0.5)
@@ -101,7 +104,9 @@ def main(argv=None):
     state = np_to_jax(payload["state"])
 
     import math
-    n_dev = math.gcd(len(jax.devices()), min(args.batch_size, len(ds)))
+    grid_mode = args.mul_eval and not args.detection_only and not args.serial_mul_eval
+    eff_batch = args.batch_size if grid_mode else min(args.batch_size, len(ds))
+    n_dev = math.gcd(len(jax.devices()), eff_batch)
     mesh = make_mesh(jax.devices()[:n_dev]) if n_dev > 1 else None
     eval_step = make_eval_step(model_cfg, mesh=mesh)
     to_dev = (lambda b: shard_batch(mesh, b)) if mesh else None
@@ -113,6 +118,34 @@ def main(argv=None):
 
     seeds = range(args.num_seeds) if args.mul_eval else [args.seed]
     rows = []
+    if grid_mode:
+        # One sharded (seed x scene) stream: every chip busy across the
+        # whole grid; caption+detection share one forward per row.
+        from spacap3d_tpu.eval.eval_helper import (
+            organize_annotations,
+            prepare_corpus,
+        )
+        from spacap3d_tpu.eval.mul_eval import mul_eval_grid
+
+        corpus_cache = os.path.join(root, "corpus_val.json")
+        if os.path.exists(corpus_cache):
+            corpus = json.load(open(corpus_cache))
+        else:
+            corpus = prepare_corpus(val_anns)
+            json.dump(corpus, open(corpus_cache, "w"), indent=4)
+        rows = mul_eval_grid(
+            eval_step, params, state, ds, vocab, dc, corpus,
+            organize_annotations(val_anns), list(seeds), eff_batch,
+            min_iou=args.min_iou,
+            also_detection=not args.no_detection_eval,
+            batch_to_device=to_dev, num_workers=args.num_workers,
+            progress=lambda i, n: print(f"\rgrid batch {i}/{n}", end="",
+                                        flush=True),
+        )
+        print()
+        for row in rows:
+            print(json.dumps(row))
+        seeds = []
     for seed in seeds:
         loader = DataLoader(ds, min(args.batch_size, len(ds)), shuffle=False,
                             seed=seed, num_workers=args.num_workers)

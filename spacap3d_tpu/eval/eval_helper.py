@@ -71,6 +71,46 @@ POST_DICT_DEFAULTS = dict(
 )
 
 
+def postprocess_batch(out: Dict, batch: Dict, post: Dict, min_iou: float,
+                      with_detection: bool = True):
+    """Host-side per-batch post-processing shared by the single-seed and
+    grid (mul_eval) paths: class-NMS (writes out['pred_mask']), the
+    nms AND objectness mask, per-proposal IoU against the assigned GT
+    box, and AP-format parsed predictions/groundtruths.
+
+    Mirrors reference lib/eval_helper.py:135-173 + ap_helper parsing.
+    Returns (nms_mask, detected_object_ids, ious, preds, gts)."""
+    ep_host = dict(out)
+    ep_host["point_clouds"] = batch["point_clouds"]
+    preds = parse_predictions(ep_host, post)
+    nms_mask = ep_host["pred_mask"] * (out["bbox_mask"] != 0)
+
+    assign = out["object_assignment"].astype(np.int64)          # (B, K)
+    detected_object_ids = np.take_along_axis(
+        batch["scene_object_ids"], assign, axis=1
+    )
+    gt_corners = batch["gt_box_corner_label"]                   # (B, M, 8, 3)
+    assigned_corners = np.take_along_axis(
+        gt_corners, assign[:, :, None, None], axis=1
+    )                                                           # (B, K, 8, 3)
+    det_corners = out["bbox_corner"]
+    mn1, mx1 = assigned_corners.min(2), assigned_corners.max(2)
+    mn2, mx2 = det_corners.min(2), det_corners.max(2)
+    inter = np.prod(np.maximum(np.minimum(mx1, mx2) - np.maximum(mn1, mn2), 0), -1)
+    v1 = np.prod(mx1 - mn1, -1)
+    v2 = np.prod(mx2 - mn2, -1)
+    ious = inter / (v1 + v2 - inter + 1e-8)
+
+    gts = None
+    if with_detection:
+        gts = parse_groundtruths(
+            {k: batch[k] for k in
+             ("box_label_mask", "sem_cls_label", "gt_box_corner_label")},
+            post,
+        )
+    return nms_mask, detected_object_ids, ious, preds, gts
+
+
 def feed_scene_cap(
     eval_step,
     params, state,
@@ -107,26 +147,10 @@ def feed_scene_cap(
         # so metrics match the reference's ragged-batch protocol.
         valid = np.asarray(batch.get("__valid__", np.ones(bsize, bool))).astype(bool)
 
-        ep_host = dict(out)
-        ep_host["point_clouds"] = batch["point_clouds"]
-        preds = parse_predictions(ep_host, post)
-        nms_mask = ep_host["pred_mask"] * (out["bbox_mask"] != 0)
-
-        assign = out["object_assignment"].astype(np.int64)     # (B, K)
-        detected_object_ids = np.take_along_axis(
-            batch["scene_object_ids"], assign, axis=1
+        nms_mask, detected_object_ids, ious, preds, gts = postprocess_batch(
+            out, batch, post, min_iou, with_detection=ap_calc is not None
         )
-        gt_corners = batch["gt_box_corner_label"]              # (B, M, 8, 3)
-        assigned_corners = np.take_along_axis(
-            gt_corners, assign[:, :, None, None], axis=1
-        )                                                       # (B, K, 8, 3)
         det_corners = out["bbox_corner"]
-        mn1, mx1 = assigned_corners.min(2), assigned_corners.max(2)
-        mn2, mx2 = det_corners.min(2), det_corners.max(2)
-        inter = np.prod(np.maximum(np.minimum(mx1, mx2) - np.maximum(mn1, mn2), 0), -1)
-        v1 = np.prod(mx1 - mn1, -1)
-        v2 = np.prod(mx2 - mn2, -1)
-        ious = inter / (v1 + v2 - inter + 1e-8)
         good = ious > min_iou
 
         enc_attn = dec_attn = None
@@ -180,14 +204,6 @@ def feed_scene_cap(
                 }
 
         if ap_calc is not None:
-            gts = parse_groundtruths(
-                {
-                    "box_label_mask": batch["box_label_mask"],
-                    "sem_cls_label": batch["sem_cls_label"],
-                    "gt_box_corner_label": batch["gt_box_corner_label"],
-                },
-                post,
-            )
             ap_calc.step(
                 [p for p, v in zip(preds, valid) if v],
                 [g for g, v in zip(gts, valid) if v],

@@ -1,0 +1,223 @@
+"""Multi-seed evaluation as ONE sharded stream (SURVEY.md §7 stage 8).
+
+The reference's ``--mul_eval`` runs 100 seeds serially, and per seed runs
+the full detector TWICE over the val split (caption eval + detection
+eval, scripts/eval.py:446-478) — 200 full passes on one GPU, ~4 h.
+
+TPU redesign: the (seed x scene) grid is flattened into a single stream
+of rows. Each row is one scene preprocessed with that seed's RNG (the
+protocol's only per-seed difference is the random 40k-point subsample).
+Rows are batched and sharded over the mesh ``data`` axis, so every chip
+stays busy regardless of how 141 scenes divide — the multi-chip speedup
+is seeds*scenes/devices instead of scenes/devices. One forward produces
+BOTH caption and detection outputs (the reference ran two), and host
+post-processing (NMS, IoU match, caption decode) of batch i overlaps
+the device compute of batch i+1 via JAX's async dispatch.
+
+Per-seed metrics come out in the reference CSV layout; per-seed capeval
+scoring is embarrassingly parallel and runs on a process pool.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from spacap3d_tpu.config import EVAL_MIN_IOU
+from spacap3d_tpu.data.loader import stack_batch
+from spacap3d_tpu.data.scannet_config import ScannetDatasetConfig
+from spacap3d_tpu.data.vocabulary import Vocabulary
+from spacap3d_tpu.eval import capeval
+from spacap3d_tpu.eval.detection import APCalculator
+from spacap3d_tpu.eval.eval_helper import (
+    POST_DICT_DEFAULTS,
+    check_candidates,
+    organize_candidates,
+    postprocess_batch,
+)
+
+
+class GridLoader:
+    """Iterates the flattened (seed x dataset item) grid in fixed-size
+    batches. Every item is built with an RNG keyed by (seed, idx) — the
+    per-seed independent point subsample the mul_eval protocol requires
+    (the reference reseeds the global numpy RNG per seed,
+    scripts/eval.py:456-460). Emits ``__seed__`` and ``__valid__`` row
+    vectors; the final batch wraps (padded rows are marked invalid)."""
+
+    def __init__(self, dataset, seeds: Sequence[int], batch_size: int,
+                 num_workers: int = 8, prefetch: int = 4):
+        self.dataset = dataset
+        self.seeds = list(seeds)
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.seeds) * len(self.dataset)
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _pairs(self) -> Tuple[np.ndarray, np.ndarray]:
+        grid = np.array(
+            [(s, i) for s in self.seeds for i in range(len(self.dataset))],
+            dtype=np.int64,
+        )
+        n = grid.shape[0]
+        valid = np.ones(n, bool)
+        if n % self.batch_size:
+            pad = self.batch_size - n % self.batch_size
+            grid = np.concatenate([grid, grid[:pad]])
+            valid = np.concatenate([valid, np.zeros(pad, bool)])
+        return grid, valid
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        grid, valid = self._pairs()
+        batches = grid.reshape(-1, self.batch_size, 2)
+        valid = valid.reshape(-1, self.batch_size)
+
+        def build_item(pair):
+            seed, idx = int(pair[0]), int(pair[1])
+            # same key schedule as DataLoader (epoch 0) so grid-mode rows
+            # are bit-identical to the serial per-seed path
+            rng = np.random.RandomState(
+                (seed * 2654435761 + idx) % (2 ** 31)
+            )
+            return self.dataset.__getitem__(idx, rng=rng)
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(batches.shape[0]):
+                    if stop.is_set():
+                        break
+                    items = list(pool.map(build_item, batches[b]))
+                    batch = stack_batch(items)
+                    batch["__seed__"] = batches[b, :, 0].copy()
+                    batch["__valid__"] = valid[b].copy()
+                    q.put(batch)
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+
+
+def _score_seed(args):
+    """(corpus, candidates, det_state) -> metrics row (runs in a worker)."""
+    corpus, candidates, meteor_jar = args
+    candidates = check_candidates(corpus, dict(candidates))
+    candidates = organize_candidates(corpus, candidates)
+    bleu = capeval.Bleu(4).compute_score(corpus, candidates)
+    cider = capeval.Cider().compute_score(corpus, candidates)
+    rouge = capeval.Rouge().compute_score(corpus, candidates)
+    meteor = capeval.Meteor(meteor_jar).compute_score(corpus, candidates)
+    metrics = {
+        "bleu-1": bleu[0][0], "bleu-2": bleu[0][1],
+        "bleu-3": bleu[0][2], "bleu-4": bleu[0][3],
+        "cider": cider[0], "rouge": rouge[0], "meteor": meteor[0],
+    }
+    metrics["sum"] = sum(metrics.values())
+    return metrics
+
+
+def mul_eval_grid(
+    eval_step, params, state,
+    dataset, vocab: Vocabulary, dc: ScannetDatasetConfig,
+    corpus: Dict, organized: Dict,
+    seeds: Sequence[int],
+    batch_size: int,
+    min_iou: float = EVAL_MIN_IOU,
+    also_detection: bool = True,
+    batch_to_device=None,
+    meteor_jar: Optional[str] = None,
+    num_workers: int = 8,
+    score_workers: int = 8,
+    progress=None,
+) -> List[Dict]:
+    """Returns one metrics row per seed (reference CSV layout)."""
+    post = dict(POST_DICT_DEFAULTS, dataset_config=dc)
+    candidates: Dict[int, Dict[str, List[str]]] = {s: {} for s in seeds}
+    # detection AP is always at IoU 0.5 (min_iou only gates caption
+    # matching) — same as feed_scene_cap / the reference protocol
+    ap_calcs: Dict[int, APCalculator] = (
+        {s: APCalculator(0.5, dc.class2type) for s in seeds}
+        if also_detection else {}
+    )
+
+    loader = GridLoader(dataset, seeds, batch_size, num_workers=num_workers)
+
+    def consume(batch, out):
+        out = {k: np.asarray(v) for k, v in out.items()}
+        captions = out["lang_cap"]
+        bsize = captions.shape[0]
+        row_valid = batch["__valid__"].astype(bool)
+        row_seed = batch["__seed__"]
+        nms_mask, det_ids, ious, preds, gts = postprocess_batch(
+            out, batch, post, min_iou, with_detection=also_detection
+        )
+        good = ious > min_iou
+        for b in range(bsize):
+            if not row_valid[b]:
+                continue
+            seed = int(row_seed[b])
+            ds_idx = int(batch["dataset_idx"][b])
+            scene_id = dataset.annotations[ds_idx]["scene_id"]
+            for k in range(captions.shape[1]):
+                if nms_mask[b, k] == 1 and good[b, k]:
+                    object_id = str(int(det_ids[b, k]))
+                    try:
+                        ann_list = list(organized[scene_id][object_id].keys())
+                        object_name = organized[scene_id][object_id][
+                            ann_list[0]]["object_name"]
+                    except KeyError:
+                        continue
+                    key = f"{scene_id}|{object_id}|{object_name}"
+                    candidates[seed][key] = [vocab.decode(captions[b, k])]
+            if also_detection:
+                ap_calcs[seed].step([preds[b]], [gts[b]])
+
+    # depth-1 software pipeline: post-process batch i on the host while
+    # the device runs batch i+1 (jax dispatch is async; np.asarray blocks)
+    pending = None
+    for i, batch in enumerate(loader):
+        dev_batch = batch_to_device(batch) if batch_to_device else batch
+        out = eval_step(params, state, dev_batch)
+        if pending is not None:
+            consume(*pending)
+        pending = (batch, out)
+        if progress is not None:
+            progress(i + 1, len(loader))
+    if pending is not None:
+        consume(*pending)
+
+    # per-seed scoring: pure-python capeval, embarrassingly parallel
+    args = [(corpus, candidates[s], meteor_jar) for s in seeds]
+    if score_workers > 1 and len(seeds) > 1:
+        # spawn, not fork: fork is unsafe with live JAX threads
+        from multiprocessing import get_context
+        with get_context("spawn").Pool(min(score_workers, len(seeds))) as pool:
+            scored = pool.map(_score_seed, args)
+    else:
+        scored = [_score_seed(a) for a in args]
+
+    rows = []
+    for s, metrics in zip(seeds, scored):
+        row = {"seed": int(s), **metrics}
+        if also_detection:
+            det = ap_calcs[s].compute_metrics(num_workers=1)
+            row["mAP@0.5"] = det["mAP"]
+            row["AR@0.5"] = det["AR"]
+        rows.append(row)
+    return rows
