@@ -82,6 +82,13 @@ class ModelConfig:
 
     # Numerics: keep f32 weights; bf16 activations on matmul-heavy paths.
     use_bf16: bool = False
+    # Greedy-decode activation/KV-cache dtype. TPU matmuls already run
+    # bf16 MXU passes at default precision; this additionally halves the
+    # HBM traffic of the decode loop (weights, KV caches, residual
+    # stream). Logits accumulate in f32 and argmax runs on f32, so token
+    # outputs match the f32 path away from exact ties (tested). Parity
+    # tests against the torch reference pin "float32".
+    eval_decode_dtype: str = "bfloat16"
 
     @property
     def size_decoded(self) -> bool:

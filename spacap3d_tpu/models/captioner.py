@@ -408,24 +408,41 @@ def _fuse_qkv(layer):
     }
 
 
+def _cast_tree(tree, dtype):
+    """Cast every float32 leaf (accessed by key afterwards, so tree_map's
+    key re-sorting is harmless)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, tree
+    )
+
+
 def _decode_step(model, cfg: ModelConfig, x, caches, pos, cross_kv,
-                 qkv_fused=None):
+                 qkv_fused=None, dd=jnp.float32):
     """One decoder step for the newest token.
 
-    x: (R, 1, d) input embedding; caches: list per layer of (k, v) with
-    shape (R, h, Lmax, dk); pos: current position (int32) — cache slots
-    < pos are valid, slot ``pos`` is written this step.
-    Returns (hidden (R, d), new caches).
+    x: (R, 1, d) input embedding (dtype ``dd``); caches: list per layer of
+    (k, v) with shape (R, h, Lmax, dk) in ``dd``; pos: current position
+    (int32) — cache slots < pos are valid, slot ``pos`` is written this
+    step. ``model``/``qkv_fused``/``cross_kv`` weights are pre-cast to
+    ``dd`` by the caller. LayerNorm statistics and attention softmax run
+    in f32 regardless; matmuls accumulate in f32 (preferred_element_type)
+    so ``dd=bfloat16`` only halves the HBM traffic of weights, caches and
+    the residual stream, not the accumulation precision.
+    Returns (hidden (R, d) f32, new caches).
     """
     h = cfg.num_heads
     d = cfg.d_model
     new_caches = []
     lmax = caches[0][0].shape[2]
     valid = (jnp.arange(lmax) <= pos)[None, None, None, :]  # (1,1,1,Lmax)
+
+    def norm(p, x):
+        return core.ref_layer_norm(p, x.astype(jnp.float32)).astype(dd)
+
     for li, layer in enumerate(model["decoder"]["layers"]):
         k_cache, v_cache = caches[li]
 
-        xn = core.ref_layer_norm(layer["sublayer0"]["norm"], x)
+        xn = norm(layer["sublayer0"]["norm"], x)
         if qkv_fused is not None:
             qkv = core.dense(qkv_fused[li], xn)
             q = split_heads(qkv[..., :d], h)
@@ -435,33 +452,43 @@ def _decode_step(model, cfg: ModelConfig, x, caches, pos, cross_kv,
             q = split_heads(core.dense(layer["self_attn"]["linears0"], xn), h)
             k_new = split_heads(core.dense(layer["self_attn"]["linears1"], xn), h)
             v_new = split_heads(core.dense(layer["self_attn"]["linears2"], xn), h)
-        k_cache = lax.dynamic_update_slice(k_cache, k_new, (0, 0, pos, 0))
-        v_cache = lax.dynamic_update_slice(v_cache, v_new, (0, 0, pos, 0))
+        k_cache = lax.dynamic_update_slice(
+            k_cache, k_new.astype(dd), (0, 0, pos, 0))
+        v_cache = lax.dynamic_update_slice(
+            v_cache, v_new.astype(dd), (0, 0, pos, 0))
         new_caches.append((k_cache, v_cache))
 
-        scores = jnp.einsum("bhtd,bhsd->bhts", q, k_cache) / math.sqrt(
-            cfg.d_model // h
-        )
+        scores = jnp.einsum(
+            "bhtd,bhsd->bhts", q.astype(dd), k_cache,
+            preferred_element_type=jnp.float32,
+        ) / math.sqrt(cfg.d_model // h)
         scores = jnp.where(valid, scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1)
-        att = jnp.einsum("bhts,bhsd->bhtd", probs, v_cache)
-        x = x + core.dense(layer["self_attn"]["linears3"], merge_heads(att))
+        att = jnp.einsum("bhts,bhsd->bhtd", probs.astype(dd), v_cache,
+                         preferred_element_type=jnp.float32)
+        x = x + core.dense(layer["self_attn"]["linears3"],
+                           merge_heads(att).astype(dd)).astype(dd)
 
         if not cfg.early_guide:
-            xn = core.ref_layer_norm(layer["sublayer1"]["norm"], x)
+            xn = norm(layer["sublayer1"]["norm"], x)
             ck, cv = cross_kv[li]  # (R, h, 1, dk) precomputed from obj token
             q = split_heads(core.dense(layer["src_attn"]["linears0"], xn), h)
-            scores = jnp.einsum("bhtd,bhsd->bhts", q, ck) / math.sqrt(cfg.d_model // h)
+            scores = jnp.einsum("bhtd,bhsd->bhts", q.astype(dd), ck,
+                                preferred_element_type=jnp.float32) \
+                / math.sqrt(cfg.d_model // h)
             probs = jax.nn.softmax(scores, axis=-1)
-            att = jnp.einsum("bhts,bhsd->bhtd", probs, cv)
-            x = x + core.dense(layer["src_attn"]["linears3"], merge_heads(att))
+            att = jnp.einsum("bhts,bhsd->bhtd", probs.astype(dd), cv,
+                             preferred_element_type=jnp.float32)
+            x = x + core.dense(layer["src_attn"]["linears3"],
+                               merge_heads(att).astype(dd)).astype(dd)
 
-        xn = core.ref_layer_norm(layer["sublayer2"]["norm"], x)
+        xn = norm(layer["sublayer2"]["norm"], x)
         x = x + core.dense(
             layer["feed_forward"]["w_2"],
-            jax.nn.relu(core.dense(layer["feed_forward"]["w_1"], xn)),
-        )
-    out = core.ref_layer_norm(model["decoder"]["norm"], x)
+            jax.nn.relu(core.dense(layer["feed_forward"]["w_1"], xn)).astype(dd),
+        ).astype(dd)
+    out = core.ref_layer_norm(model["decoder"]["norm"],
+                              x.astype(jnp.float32))
     return out[:, 0], new_caches
 
 
@@ -542,29 +569,37 @@ def captioner_eval(
     dk = cfg.d_model // h
     n_layers = cfg.num_layers
 
+    # Decode-loop dtype: bf16 halves the HBM traffic of the per-step
+    # weights, KV caches, residual stream, embedding table and generator;
+    # all matmuls still accumulate in f32 and the argmax runs on f32
+    # logits (see ModelConfig.eval_decode_dtype).
+    dd = jnp.dtype(cfg.eval_decode_dtype)
+    dec_model = {"decoder": _cast_tree(model["decoder"], dd)}
+    lut = model["tgt_embed"]["lut"]["kernel"].astype(dd)
+    gen = _cast_tree(model["generator"]["proj"], dd)
+    pe = sinusoid_pe(cfg.max_des_len + 4, cfg.d_model).astype(dd)
+
     caches = [
-        (
-            jnp.zeros((r, h, lmax, dk), jnp.float32),
-            jnp.zeros((r, h, lmax, dk), jnp.float32),
-        )
+        (jnp.zeros((r, h, lmax, dk), dd), jnp.zeros((r, h, lmax, dk), dd))
         for _ in range(n_layers)
     ]
 
     cross_kv = None
     if not cfg.early_guide:
         cross_kv = []
-        for layer in model["decoder"]["layers"]:
-            ck = split_heads(core.dense(layer["src_attn"]["linears1"], obj_token), h)
-            cv = split_heads(core.dense(layer["src_attn"]["linears2"], obj_token), h)
-            cross_kv.append((ck, cv))
+        obj_dd = obj_token.astype(dd)
+        for layer in dec_model["decoder"]["layers"]:
+            ck = split_heads(core.dense(layer["src_attn"]["linears1"], obj_dd), h)
+            cv = split_heads(core.dense(layer["src_attn"]["linears2"], obj_dd), h)
+            cross_kv.append((ck.astype(dd), cv.astype(dd)))
 
-    qkv_fused = [_fuse_qkv(layer) for layer in model["decoder"]["layers"]]
+    qkv_fused = [_fuse_qkv(layer) for layer in dec_model["decoder"]["layers"]]
 
     offset = 0
     if cfg.early_guide:
         # warm-up step: process the object token at cache position 0
-        _, caches = _decode_step(model, cfg, obj_token, caches, jnp.int32(0),
-                                 cross_kv, qkv_fused)
+        _, caches = _decode_step(dec_model, cfg, obj_token.astype(dd), caches,
+                                 jnp.int32(0), cross_kv, qkv_fused, dd=dd)
         offset = 1
 
     def flatten(cs):
@@ -573,15 +608,18 @@ def captioner_eval(
     def unflatten(flat):
         return [(flat[2 * i], flat[2 * i + 1]) for i in range(n_layers)]
 
+    sqrt_d = jnp.asarray(math.sqrt(cfg.d_model), dd)
+
     def step(carry, i):
         token, flat_caches = carry
-        emb = _tgt_embed(model, cfg, token[:, None], i[None], rngs, False)  # (R,1,d)
+        emb = (jnp.take(lut, token[:, None], axis=0) * sqrt_d + pe[i]).astype(dd)
         hid, new_caches = _decode_step(
-            model, cfg, emb, unflatten(flat_caches), i + offset, cross_kv,
-            qkv_fused,
+            dec_model, cfg, emb, unflatten(flat_caches), i + offset, cross_kv,
+            qkv_fused, dd=dd,
         )
-        logp = _generator(model, hid)
-        nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        # argmax(logits) == argmax(log_softmax(logits)): skip the softmax
+        logits = core.dense(gen, hid.astype(dd))          # f32 accumulate
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return (nxt, flatten(new_caches)), nxt
 
     init_token = jnp.full((r,), SOS_ID, jnp.int32)

@@ -100,6 +100,7 @@ def _convert(ref, variant):
         use_transformer_encoder=variant["enc"],
         early_guide=variant["early"], check_relation=variant["rel"],
         max_des_len=MAXLEN,
+        eval_decode_dtype="float32",  # bit-parity vs the f32 torch reference
     )
     params, state = init_captioner(jax.random.PRNGKey(0), cfg)
     sd = {f"caption.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}

@@ -87,9 +87,26 @@ def test_forward_train_and_eval(rng, variant):
     assert ep_eval["lang_cap"].dtype == jnp.int32
 
 
+def test_bf16_decode_tokens_match_f32(rng):
+    """The bf16 decode loop (default) must produce the same greedy tokens
+    as the f32 path: matmuls accumulate in f32 and the argmax runs on f32
+    logits, so only exact ties could flip (measure-zero at random init)."""
+    cfg32 = dataclasses.replace(TINY, eval_decode_dtype="float32")
+    params, state = init_spacap(jax.random.PRNGKey(4), cfg32, _mean_sizes(cfg32))
+    batch = tiny_batch(rng, cfg32)
+    ep32, _ = make_forward(cfg32, is_eval=True, train=False)(params, state, batch)
+    cfg16 = dataclasses.replace(TINY, eval_decode_dtype="bfloat16")
+    ep16, _ = make_forward(cfg16, is_eval=True, train=False)(params, state, batch)
+    np.testing.assert_array_equal(
+        np.asarray(ep16["lang_cap"]), np.asarray(ep32["lang_cap"])
+    )
+
+
 def test_eval_decode_matches_full_recompute(rng):
-    """KV-cached scan decode must equal the reference's full-recompute loop."""
-    cfg = dataclasses.replace(TINY, check_relation=False)
+    """KV-cached scan decode must equal the reference's full-recompute loop
+    (compared in f32; the bf16-vs-f32 agreement is tested separately)."""
+    cfg = dataclasses.replace(TINY, check_relation=False,
+                              eval_decode_dtype="float32")
     params, state = init_spacap(jax.random.PRNGKey(0), cfg, _mean_sizes(cfg))
     batch = tiny_batch(rng, cfg)
     ep_eval, _ = make_forward(cfg, is_eval=True, train=False)(params, state, batch)
