@@ -40,7 +40,6 @@ from spacap3d_tpu.config import (
 from spacap3d_tpu.data import native
 from spacap3d_tpu.data.scannet_config import ScannetDatasetConfig
 from spacap3d_tpu.data.vocabulary import Vocabulary
-from spacap3d_tpu.ops.boxes import _CORNER_SIGNS  # corner ordering (jnp const)
 
 
 def random_sampling(n_points: int, num_sample: int, rng: np.random.RandomState):
@@ -85,10 +84,20 @@ def rotate_aligned_boxes_along_axis(boxes: np.ndarray, rot: np.ndarray, axis: in
     return np.concatenate([centers, new_lengths], axis=1)
 
 
+# Host-side numpy copy of the reference corner ordering. Converting the
+# jnp constant per call (np.asarray(_CORNER_SIGNS)) dispatched a device
+# round-trip in the DATA LOADER hot path — ~1 s/item through the TPU
+# tunnel. Equality with ops.boxes._CORNER_SIGNS is pinned by
+# tests/test_data_pipeline.py::test_host_corner_signs_match_ops.
+_CORNER_SIGNS_NP = np.array([
+    [1, 1, 1], [1, -1, 1], [-1, -1, 1], [-1, 1, 1],
+    [1, 1, -1], [1, -1, -1], [-1, -1, -1], [-1, 1, -1],
+], np.float32)
+
+
 def corners_from_center_size(center: np.ndarray, size: np.ndarray) -> np.ndarray:
     """(..., 3) x2 -> (..., 8, 3); reference corner order, heading 0."""
-    signs = np.asarray(_CORNER_SIGNS)
-    return center[..., None, :] + 0.5 * size[..., None, :] * signs
+    return center[..., None, :] + 0.5 * size[..., None, :] * _CORNER_SIGNS_NP
 
 
 @dataclass

@@ -221,14 +221,21 @@ DEFAULT_METEOR_JAR = os.path.join(
 
 class MeteorJar:
     """stdio wrapper around the METEOR-1.5 jar (bit-for-bit parity path;
-    same protocol as reference lib/capeval/meteor/meteor.py:12-58)."""
+    same protocol as reference lib/capeval/meteor/meteor.py:12-58).
 
-    def __init__(self, jar_path: str):
+    ``command`` overrides the subprocess argv (used by the protocol test
+    to exercise the exact stdio path against a scripted fake jar)."""
+
+    def __init__(self, jar_path: str, command=None):
         self.lock = threading.Lock()
+        cmd = command or [
+            "java", "-jar", "-Xmx2G", jar_path, "-", "-", "-stdio", "-l",
+            "en", "-norm",
+        ]
         self.proc = subprocess.Popen(
-            ["java", "-jar", "-Xmx2G", jar_path, "-", "-", "-stdio", "-l", "en",
-             "-norm"],
-            cwd=os.path.dirname(os.path.abspath(jar_path)),
+            cmd,
+            cwd=os.path.dirname(os.path.abspath(jar_path)) if command is None
+            else None,
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             universal_newlines=True, bufsize=1,
         )
@@ -251,19 +258,137 @@ class MeteorJar:
         return final, np.array(scores)
 
 
-def _porter_light(w: str) -> str:
-    """Very small suffix stripper for the fallback matcher."""
-    for suf in ("ing", "edly", "ed", "es", "s", "ly"):
-        if w.endswith(suf) and len(w) - len(suf) >= 3:
-            return w[: len(w) - len(suf)]
+_VOWELS = "aeiou"
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Porter's m: the number of VC sequences in the stem."""
+    forms = "".join("C" if _is_cons(stem, i) else "V" for i in range(len(stem)))
+    m = 0
+    prev = None
+    for c in forms:
+        if prev == "V" and c == "C":
+            m += 1
+        prev = c
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(w: str) -> bool:
+    return len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1)
+
+
+def _cvc(w: str) -> bool:
+    if len(w) < 3:
+        return False
+    return (_is_cons(w, len(w) - 3) and not _is_cons(w, len(w) - 2)
+            and _is_cons(w, len(w) - 1) and w[-1] not in "wxy")
+
+
+def porter_stem(w: str) -> str:
+    """The classic Porter (1980) stemming algorithm — the stemmer METEOR's
+    'stem' matcher module uses (via Snowball's english/porter)."""
+    if len(w) <= 2:
+        return w
+    w = w.lower()
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        flag = False
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            w, flag = w[:-2], True
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            w, flag = w[:-3], True
+        if flag:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _ends_double_cons(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif _measure(w) == 1 and _cvc(w):
+                w += "e"
+
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # step 2
+    for suf, rep in (
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+        ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),
+        ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+        ("ation", "ate"), ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+        ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+        ("iviti", "ive"), ("biliti", "ble"),
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 3
+    for suf, rep in (
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 4
+    for suf in ("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+                "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+                "ous", "ive", "ize"):
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 1:
+                if suf == "ion" and (not stem or stem[-1] not in "st"):
+                    break
+                w = stem
+            break
+
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
     return w
 
 
 class MeteorLite:
-    """Pure-Python METEOR-style scorer (exact + light-stem matching,
-    standard METEOR-1.5 defaults alpha=.85 beta=.2 gamma=.6 delta=.75 for
-    exact/stem weights 1.0/0.6). NON-PARITY fallback — use the jar for
-    published numbers."""
+    """Pure-Python METEOR-style scorer: exact + Porter-stem matching with
+    the METEOR-1.5 English parameters alpha=.85, beta=.2 (fragmentation
+    penalty EXPONENT), gamma=.6 (penalty weight). Pen = gamma * frag^beta,
+    Fmean = P*R / (alpha*P + (1-alpha)*R). NON-PARITY fallback (no
+    paraphrase table, no delta content/function weighting) — use the jar
+    for published numbers."""
 
     alpha, beta, gamma = 0.85, 0.2, 0.6
 
@@ -274,7 +399,7 @@ class MeteorLite:
             for j, rw in enumerate(ref):
                 if j in used_r:
                     continue
-                if hw == rw or _porter_light(hw) == _porter_light(rw):
+                if hw == rw or porter_stem(hw) == porter_stem(rw):
                     matches.append((i, j))
                     used_r.add(j)
                     break
@@ -303,7 +428,7 @@ class MeteorLite:
             r = m / len(ref)
             fmean = p * r / (self.alpha * p + (1 - self.alpha) * r)
             frag = self._chunks(matches) / m
-            pen = self.gamma * frag ** 3.0
+            pen = self.gamma * frag ** self.beta
             best = max(best, fmean * (1 - pen))
         return best
 

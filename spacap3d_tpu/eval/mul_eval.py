@@ -115,8 +115,10 @@ class GridLoader:
 
 
 def _score_seed(args):
-    """(corpus, candidates, det_state) -> metrics row (runs in a worker)."""
-    corpus, candidates, meteor_jar = args
+    """One seed's full scoring (capeval + detection AP) — runs in a
+    spawn-pool worker, so the 100 seeds' CPU-bound scoring parallelizes
+    at the seed level."""
+    corpus, candidates, meteor_jar, ap_state, class2type = args
     candidates = check_candidates(corpus, dict(candidates))
     candidates = organize_candidates(corpus, candidates)
     bleu = capeval.Bleu(4).compute_score(corpus, candidates)
@@ -129,6 +131,13 @@ def _score_seed(args):
         "cider": cider[0], "rouge": rouge[0], "meteor": meteor[0],
     }
     metrics["sum"] = sum(metrics.values())
+    if ap_state is not None:
+        calc = APCalculator(0.5, class2type)
+        calc.pred_map_cls, calc.gt_map_cls = ap_state
+        calc.scan_cnt = len(ap_state[0])
+        det = calc.compute_metrics(num_workers=1)
+        metrics["mAP@0.5"] = det["mAP"]
+        metrics["AR@0.5"] = det["AR"]
     return metrics
 
 
@@ -157,23 +166,28 @@ def mul_eval_grid(
     )
 
     loader = GridLoader(dataset, seeds, batch_size, num_workers=num_workers)
+    lock = threading.Lock()
 
     def consume(batch, out):
-        out = {k: np.asarray(v) for k, v in out.items()}
+        out = {k: np.asarray(v) for k, v in out.items()}  # blocks on device
         captions = out["lang_cap"]
         bsize = captions.shape[0]
         row_valid = batch["__valid__"].astype(bool)
         row_seed = batch["__seed__"]
+        # heavy numpy/NMS work: runs without the lock (numpy + the native
+        # point-in-box kernel release the GIL, so pool workers overlap)
         nms_mask, det_ids, ious, preds, gts = postprocess_batch(
             out, batch, post, min_iou, with_detection=also_detection
         )
         good = ious > min_iou
+        updates = []
         for b in range(bsize):
             if not row_valid[b]:
                 continue
             seed = int(row_seed[b])
             ds_idx = int(batch["dataset_idx"][b])
             scene_id = dataset.annotations[ds_idx]["scene_id"]
+            caps = {}
             for k in range(captions.shape[1]):
                 if nms_mask[b, k] == 1 and good[b, k]:
                     object_id = str(int(det_ids[b, k]))
@@ -184,26 +198,40 @@ def mul_eval_grid(
                     except KeyError:
                         continue
                     key = f"{scene_id}|{object_id}|{object_name}"
-                    candidates[seed][key] = [vocab.decode(captions[b, k])]
-            if also_detection:
-                ap_calcs[seed].step([preds[b]], [gts[b]])
+                    caps[key] = [vocab.decode(captions[b, k])]
+            updates.append((seed, caps, b))
+        with lock:
+            for seed, caps, b in updates:
+                candidates[seed].update(caps)
+                if also_detection:
+                    ap_calcs[seed].step([preds[b]], [gts[b]])
 
-    # depth-1 software pipeline: post-process batch i on the host while
-    # the device runs batch i+1 (jax dispatch is async; np.asarray blocks)
-    pending = None
-    for i, batch in enumerate(loader):
-        dev_batch = batch_to_device(batch) if batch_to_device else batch
-        out = eval_step(params, state, dev_batch)
-        if pending is not None:
-            consume(*pending)
-        pending = (batch, out)
-        if progress is not None:
-            progress(i + 1, len(loader))
-    if pending is not None:
-        consume(*pending)
+    # software pipeline: host post-processing of finished batches overlaps
+    # the device compute of in-flight ones (jax dispatch is async;
+    # np.asarray inside consume blocks on that batch only)
+    futures = []
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for i, batch in enumerate(loader):
+            dev_batch = batch_to_device(batch) if batch_to_device else batch
+            out = eval_step(params, state, dev_batch)
+            futures.append(pool.submit(consume, batch, out))
+            # bound in-flight device batches / host backlog
+            while len([f for f in futures if not f.done()]) > 8:
+                futures[0].result()
+                futures = [f for f in futures if not f.done()]
+            if progress is not None:
+                progress(i + 1, len(loader))
+        for f in futures:
+            f.result()
 
-    # per-seed scoring: pure-python capeval, embarrassingly parallel
-    args = [(corpus, candidates[s], meteor_jar) for s in seeds]
+    # per-seed scoring (capeval + AP): embarrassingly parallel over seeds
+    args = [
+        (corpus, candidates[s], meteor_jar,
+         (ap_calcs[s].pred_map_cls, ap_calcs[s].gt_map_cls)
+         if also_detection else None,
+         dc.class2type)
+        for s in seeds
+    ]
     if score_workers > 1 and len(seeds) > 1:
         # spawn, not fork: fork is unsafe with live JAX threads
         from multiprocessing import get_context
@@ -212,12 +240,4 @@ def mul_eval_grid(
     else:
         scored = [_score_seed(a) for a in args]
 
-    rows = []
-    for s, metrics in zip(seeds, scored):
-        row = {"seed": int(s), **metrics}
-        if also_detection:
-            det = ap_calcs[s].compute_metrics(num_workers=1)
-            row["mAP@0.5"] = det["mAP"]
-            row["AR@0.5"] = det["AR"]
-        rows.append(row)
-    return rows
+    return [{"seed": int(s), **m} for s, m in zip(seeds, scored)]

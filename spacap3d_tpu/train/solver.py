@@ -183,6 +183,15 @@ class Solver:
         self._finish()
 
     def _feed_epoch(self, epoch, rng, momentum, verbose, total_iters, t_start):
+        # step-time sampling period: blocking every iteration would kill
+        # the dispatch pipeline, so device step time is bounded with
+        # block_until_ready on sampled iterations only (the reference
+        # logged every iter's forward/backward/iter time eagerly,
+        # lib/solver.py:464-505 — eager torch had no pipeline to lose)
+        sample_every = max(1, min(verbose, 50))
+        epoch_fetch, epoch_step = [], []
+        epoch_t0 = time.time()
+        n_iters = 0
         fetch_t0 = time.time()
         for batch in self.train_loader:
             step_rng = jax.random.fold_in(rng, self.global_iter)
@@ -193,6 +202,12 @@ class Solver:
             self.train_state, metrics = self.train_step(
                 self.train_state, dev_batch, step_rng, momentum
             )
+            sampled = (self.global_iter % sample_every == 0)
+            if sampled:
+                jax.block_until_ready(metrics)
+                step_time = time.time() - t0
+                epoch_step.append(step_time)
+                self._timing["step"].append(step_time)
             if (self.global_iter + 1) % verbose == 0 or self.global_iter == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 step_time = time.time() - t0
@@ -200,12 +215,28 @@ class Solver:
                              total_iters, t_start)
                 for k, v in metrics.items():
                     self.logger.scalar("train", k, v, self.global_iter)
+            epoch_fetch.append(fetch_time)
             self._timing["fetch"].append(fetch_time)
 
             self.global_iter += 1
+            n_iters += 1
             if self.tc.val_step and self.global_iter % self.tc.val_step == 0:
                 self._validate(epoch)
             fetch_t0 = time.time()
+        epoch_wall = time.time() - epoch_t0
+        if n_iters:
+            mean_fetch = float(np.mean(epoch_fetch)) * 1000
+            mean_step = float(np.mean(epoch_step)) * 1000 if epoch_step else 0.0
+            self.logger.log(
+                f"epoch {epoch + 1} done | {n_iters} iters in "
+                f"{epoch_wall:.1f}s ({epoch_wall / n_iters * 1000:.0f}ms/iter) "
+                f"| mean fetch {mean_fetch:.0f}ms | mean step {mean_step:.0f}ms "
+                f"(blocked, {len(epoch_step)} samples)"
+            )
+            self.logger.scalar("train", "mean_fetch_ms", mean_fetch,
+                               self.global_iter)
+            self.logger.scalar("train", "mean_step_ms", mean_step,
+                               self.global_iter)
 
     def _report(self, epoch, metrics, fetch_time, step_time, total_iters, t_start):
         done = max(self.global_iter, 1)

@@ -135,3 +135,15 @@ def test_compute_votes_matches_loop_oracle(rng):
             want_mask[ind] = 1
     np.testing.assert_allclose(votes[:, :3], want_votes, atol=1e-12)
     np.testing.assert_array_equal(mask, want_mask)
+
+
+def test_host_corner_signs_match_ops():
+    """The host loader's numpy corner ordering must stay identical to the
+    device op's (dataset avoids touching jax in its hot path — a per-call
+    np.asarray(jnp const) cost ~1 s/item through the TPU tunnel)."""
+    import numpy as np
+
+    from spacap3d_tpu.data.dataset import _CORNER_SIGNS_NP
+    from spacap3d_tpu.ops.boxes import _CORNER_SIGNS
+
+    np.testing.assert_array_equal(_CORNER_SIGNS_NP, np.asarray(_CORNER_SIGNS))

@@ -1,0 +1,108 @@
+"""METEOR: jar stdio protocol (against a scripted fake jar) and the
+MeteorLite fallback (Porter stemmer + METEOR-1.5 parameterization)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from spacap3d_tpu.eval.capeval import Meteor, MeteorJar, MeteorLite, porter_stem
+
+FAKE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "fake_meteor_jar.py")
+
+
+def test_meteor_jar_stdio_protocol():
+    """Exercises the exact write/read pairing of the jar wrapper
+    (reference lib/capeval/meteor/meteor.py:15-58) without the
+    non-redistributable jar."""
+    jar = MeteorJar("unused.jar", command=[sys.executable, FAKE])
+    gts = {
+        "a|1|x": ["sos one two eos", "sos one eos"],     # 2 refs
+        "b|2|y": ["sos three eos"],                      # 1 ref
+        "c|3|z": ["sos four five six eos", "sos four eos", "sos six eos"],
+    }
+    res = {
+        "a|1|x": ["sos one two eos"],     # 4 hyp tokens -> 2 + 0.04
+        "b|2|y": ["sos three four eos"],  # 4 tokens     -> 1 + 0.04
+        "c|3|z": ["sos four eos"],        # 3 tokens     -> 3 + 0.03
+    }
+    final, scores = jar.compute_score(gts, res)
+    np.testing.assert_allclose(scores, [2.04, 1.04, 3.03], atol=1e-9)
+    assert final == pytest.approx(2.04 + 1.04 + 3.03)
+    jar.proc.kill()
+
+
+def test_meteor_jar_scrubs_separator():
+    """Hyps containing the ||| protocol separator must be scrubbed."""
+    jar = MeteorJar("unused.jar", command=[sys.executable, FAKE])
+    final, scores = jar.compute_score(
+        {"k": ["sos a eos"]}, {"k": ["sos a ||| b eos"]}
+    )
+    # "|||" removed, double-space collapsed -> "sos a b eos" = 4 tokens
+    assert scores[0] == pytest.approx(1.04)
+    jar.proc.kill()
+
+
+def test_meteor_dispatch_uses_lite_without_jar(tmp_path):
+    m = Meteor(jar_path=str(tmp_path / "missing.jar"))
+    assert not m.is_exact
+    assert isinstance(m._impl, MeteorLite)
+
+
+# Porter's own example vocabulary (from the 1980 paper / reference impl)
+PORTER_CASES = [
+    ("caresses", "caress"), ("ponies", "poni"), ("ties", "ti"),
+    ("caress", "caress"), ("cats", "cat"),
+    ("feed", "feed"), ("agreed", "agre"), ("plastered", "plaster"),
+    ("bled", "bled"), ("motoring", "motor"), ("sing", "sing"),
+    ("conflated", "conflat"), ("troubled", "troubl"), ("sized", "size"),
+    ("hopping", "hop"), ("tanned", "tan"), ("falling", "fall"),
+    ("hissing", "hiss"), ("fizzed", "fizz"), ("failing", "fail"),
+    ("filing", "file"),
+    ("happy", "happi"), ("sky", "sky"),
+    ("relational", "relat"), ("conditional", "condit"),
+    ("rational", "ration"), ("valenci", "valenc"), ("hesitanci", "hesit"),
+    ("digitizer", "digit"), ("conformabli", "conform"),
+    ("radicalli", "radic"), ("differentli", "differ"), ("vileli", "vile"),
+    ("analogousli", "analog"), ("vietnamization", "vietnam"),
+    ("predication", "predic"), ("operator", "oper"),
+    ("feudalism", "feudal"), ("decisiveness", "decis"),
+    ("hopefulness", "hope"), ("callousness", "callous"),
+    ("formaliti", "formal"), ("sensitiviti", "sensit"),
+    ("sensibiliti", "sensibl"),
+    ("triplicate", "triplic"), ("formative", "form"),
+    ("formalize", "formal"), ("electriciti", "electr"),
+    ("electrical", "electr"), ("hopeful", "hope"), ("goodness", "good"),
+    ("revival", "reviv"), ("allowance", "allow"), ("inference", "infer"),
+    ("airliner", "airlin"), ("gyroscopic", "gyroscop"),
+    ("adjustable", "adjust"), ("defensible", "defens"),
+    ("irritant", "irrit"), ("replacement", "replac"),
+    ("adjustment", "adjust"), ("dependent", "depend"),
+    ("adoption", "adopt"), ("homologou", "homolog"),
+    ("communism", "commun"), ("activate", "activ"),
+    ("angulariti", "angular"), ("homologous", "homolog"),
+    ("effective", "effect"), ("bowdlerize", "bowdler"),
+    ("probate", "probat"), ("rate", "rate"), ("cease", "ceas"),
+    ("controll", "control"), ("roll", "roll"),
+]
+
+
+@pytest.mark.parametrize("word,stem", PORTER_CASES)
+def test_porter_stemmer(word, stem):
+    assert porter_stem(word) == stem
+
+
+def test_meteor_lite_parameters():
+    """Penalty must use the declared beta exponent (METEOR-1.5
+    Pen = gamma * frag^beta), and a perfect single-chunk match must score
+    fmean * (1 - gamma * (1/m)^beta)."""
+    lite = MeteorLite()
+    hyp = "sos the red chair eos"
+    score = lite.sentence_score(hyp, [hyp])
+    m = 5
+    pen = lite.gamma * (1.0 / m) ** lite.beta
+    assert score == pytest.approx(1.0 * (1 - pen))
+    # stem matching: "running" vs "runs" -> Porter stems "run"
+    s = lite.sentence_score("running", ["runs"])
+    assert s > 0
