@@ -43,16 +43,16 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from spacap3d_tpu.models.enet import enet_encoder, init_enet_encoder
+    from spacap3d_tpu.models.enet import enet_encoder, init_enet
 
-    params, state = init_enet_encoder(jax.random.PRNGKey(0))
+    params, state = init_enet(jax.random.PRNGKey(0))
     if args.enet_ckpt:
         if args.enet_ckpt.endswith(".pth"):
             from spacap3d_tpu.utils.convert import load_torch_state_dict
             from spacap3d_tpu.utils.convert_enet import convert_enet_state_dict
             sd = load_torch_state_dict(args.enet_ckpt)
-            params, state, n = convert_enet_state_dict(sd, params, state)
-            print(f"converted {n} ENet tensors")
+            params, state, report = convert_enet_state_dict(sd, params, state)
+            print(f"converted {len(report['loaded'])} ENet tensors")
         else:
             import pickle
             with open(args.enet_ckpt, "rb") as f:

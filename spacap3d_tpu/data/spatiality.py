@@ -94,3 +94,59 @@ def generate_relation_labels(bboxes: np.ndarray) -> Dict[str, np.ndarray]:
         "y": xy_relation(bboxes, 1),
         "z": z_relation(bboxes),
     }
+
+
+def plot_relation_heatmap(
+    matrix: np.ndarray,
+    labels,
+    axis: str,
+    scene_id: str,
+    save_path: str | None = None,
+    show: bool = False,
+    dryrun: bool = False,
+    verbose: bool = False,
+):
+    """Annotated relation-matrix heatmap — the reference's data-integrity
+    visualization mode (generate_spatiality_label.py:77-100,143-170,
+    seaborn heatmap with '<objid>-<name>' tick labels). matplotlib-only
+    rendering here (no seaborn/pandas dependency); cells annotated with
+    the class value. Returns the figure (or None when matplotlib is
+    unavailable and nothing was requested)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg" if not show else matplotlib.get_backend())
+        import matplotlib.pyplot as plt
+    except ImportError as e:  # pragma: no cover - matplotlib is baked in
+        raise RuntimeError(
+            "matplotlib is required for --visualize/--savefig"
+        ) from e
+
+    m = matrix.shape[0]
+    fig, ax = plt.subplots(
+        figsize=(max(6, m * 0.6), max(6, m * 0.6)), dpi=80,
+        facecolor="w", edgecolor="k",
+    )
+    im = ax.imshow(matrix, cmap="cubehelix_r", vmin=matrix.min(),
+                   vmax=max(matrix.max(), 1))
+    ax.set_xticks(range(m))
+    ax.set_yticks(range(m))
+    ax.set_xticklabels(labels, rotation=90)
+    ax.set_yticklabels(labels)
+    for i in range(m):
+        for j in range(m):
+            ax.text(j, i, f"{matrix[i, j]:.2f}", ha="center", va="center",
+                    fontsize=7)
+    ax.set_title(
+        f"Relation along {axis.upper()}-axis for {scene_id}"
+    )
+    fig.colorbar(im, shrink=0.82)
+    fig.tight_layout()
+    if verbose:
+        print(f"Relation along {axis.upper()}-axis for {scene_id}")
+    if save_path and not dryrun:
+        fig.savefig(save_path)
+        if verbose:
+            print("saving", save_path)
+    if show:  # pragma: no cover - interactive
+        plt.show()
+    return fig

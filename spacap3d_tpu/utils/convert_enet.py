@@ -1,105 +1,138 @@
-"""Torch scannetv2_enet.pth -> JAX ENet encoder params converter.
+"""Torch scannetv2_enet.pth -> JAX ENet params converter (name-based).
 
-The reference builds ENet in torch Sequential/Lambda style (lib/enet.py)
-and loads ``scannetv2_enet.pth``; this maps those tensors onto
-spacap3d_tpu/models/enet.py's functional tree. Conv kernels transpose
-(out, in, kh, kw) -> (kh, kw, in, out); BN weight/bias/running stats map
-to scale/bias + state mean/var; PReLU slopes map to alpha.
+The reference builds ENet as one big nn.Sequential of Lambda-style
+modules (lib/enet.py:130-715; its decoder half is commented out
+upstream, so the active model = encoder + 1x1 classifier). The
+checkpoint's keys are Sequential indices; this maps them EXPLICITLY onto
+spacap3d_tpu/models/enet.py's named tree:
 
-The torch checkpoint's exact key layout depends on the reference's
-Sequential numbering; ``convert_enet_state_dict`` therefore works
-positionally: it walks both models' conv/bn/prelu tensors in definition
-order and pairs them by shape, which is robust to naming differences.
+  top-level:  0.0 initial conv | 2 initial BN | 3 initial PReLU |
+              4 s1_down | 5-8 s1_b0..3 | 9 s2_down |
+              10-17 stage-2 blocks | 18-25 stage-3 blocks |
+              26.0 classifier conv
+  per block ("X.0.0.<i>", out-PReLU at "X.2"):
+    regular/down: 0 conv1 | 1 bn | 2 prelu | 3 conv2(w+b) | 4 bn |
+                  5 prelu | 6 conv3 | 7 bn
+    asymmetric:   3 conv2a(1x5, no bias) | 4 conv2b(5x1, w+b) | 5 bn |
+                  6 prelu | 7 conv3 | 8 bn
+
+Layout rules: conv (out,in,kh,kw) -> (kh,kw,in,out); PReLU weight ->
+alpha; BN weight/bias -> scale/bias (params), running_mean/var ->
+mean/var (state); num_batches_tracked dropped.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
+from spacap3d_tpu.models.enet import STAGE2_3_PLAN
 
-def _flatten_ordered(tree, prefix=()):
-    """Yields (path, leaf) in insertion order (dicts preserve order)."""
-    out = []
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            out += _flatten_ordered(v, prefix + (k,))
-    elif isinstance(tree, (list, tuple)):
-        for i, v in enumerate(tree):
-            out += _flatten_ordered(v, prefix + (i,))
-    else:
-        out.append((prefix, tree))
-    return out
+# torch top-level Sequential index -> our block name
+_BLOCK_OF_INDEX = {4: "s1_down", 9: "s2_down"}
+for _i in range(4):
+    _BLOCK_OF_INDEX[5 + _i] = f"s1_b{_i}"
+for _i, (_name, _) in enumerate(STAGE2_3_PLAN):
+    _BLOCK_OF_INDEX[10 + _i] = f"s2_{_name}"
+    _BLOCK_OF_INDEX[18 + _i] = f"s3_{_name}"
+
+_ASYM_BLOCKS = {
+    f"{stage}_{name}"
+    for stage in ("s2", "s3")
+    for name, kw in STAGE2_3_PLAN if kw.get("asymmetric")
+}
+
+# per-block ext-branch sub-index ("X.0.0.<i>") -> our leaf group
+_SUB_REGULAR = {0: "conv1", 1: "conv1_bn", 2: "prelu1", 3: "conv2",
+                4: "conv2_bn", 5: "prelu2", 6: "conv3", 7: "conv3_bn"}
+_SUB_ASYM = {0: "conv1", 1: "conv1_bn", 2: "prelu1", 3: "conv2a",
+             4: "conv2b", 5: "conv2_bn", 6: "prelu2", 7: "conv3",
+             8: "conv3_bn"}
 
 
-def torch_tensors_in_order(sd: Dict[str, "np.ndarray"]) -> List[Tuple[str, np.ndarray]]:
-    """Returns (key, tensor) excluding num_batches_tracked, preserving the
-    state-dict order (torch preserves registration order)."""
-    return [(k, v) for k, v in sd.items() if not k.endswith("num_batches_tracked")]
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
 
 
-def convert_enet_state_dict(sd: Dict[str, np.ndarray], params, state):
-    """Positional shape-matched conversion. Raises if the tensor streams
-    do not align."""
+def _map_enet_key(key: str):
+    """torch key -> ('params'|'state', path tuple, transform|None)."""
+    parts = key.split(".")
+    leaf = parts[-1]
+    if leaf == "num_batches_tracked":
+        return None
+
+    def bn_leaf(base):
+        if leaf in ("weight", "bias"):
+            return ("params", base + ("scale" if leaf == "weight" else "bias",),
+                    None)
+        if leaf in ("running_mean", "running_var"):
+            return ("state",
+                    base + ("mean" if leaf == "running_mean" else "var",),
+                    None)
+        raise KeyError(key)
+
+    top = int(parts[0])
+    if top == 0:                                 # initial LambdaMap conv
+        assert parts[1] == "0"
+        return ("params", ("initial_conv", "kernel" if leaf == "weight" else "bias"),
+                _conv_kernel if leaf == "weight" else None)
+    if top == 2:
+        return bn_leaf(("initial_bn",))
+    if top == 3:
+        return ("params", ("initial_prelu", "alpha"), None)
+    if top == 26:                                # classifier Sequential
+        assert parts[1] == "0" and leaf == "weight"
+        return ("params", ("classifier", "kernel"), _conv_kernel)
+
+    block = _BLOCK_OF_INDEX[top]
+    if parts[1] == "2":                          # out PReLU ("X.2.weight")
+        return ("params", (block, "prelu_out", "alpha"), None)
+    assert parts[1] == "0" and parts[2] == "0", key
+    sub = int(parts[3])
+    name = (_SUB_ASYM if block in _ASYM_BLOCKS else _SUB_REGULAR)[sub]
+    if name.endswith("_bn"):
+        return bn_leaf((block, name))
+    if name.startswith("prelu"):
+        return ("params", (block, name, "alpha"), None)
+    # conv leaf
+    if leaf == "weight":
+        return ("params", (block, name, "kernel"), _conv_kernel)
+    return ("params", (block, name, "bias"), None)
+
+
+def convert_enet_state_dict(
+    sd: Dict[str, np.ndarray], params, state, strict: bool = True
+) -> Tuple[Dict, Dict, Dict]:
+    """Writes the torch tensors into copies of (params, state) by NAME.
+    Returns (params, state, report)."""
     import copy
 
     import jax
 
-    # Flatten from the ORIGINAL trees: jax.tree_map re-sorts dict keys,
-    # which would break the positional (definition-order) alignment with
-    # the torch state dict's registration order.
-    ours = _flatten_ordered(params) + _flatten_ordered(state)
     params = copy.deepcopy(jax.tree_util.tree_map(np.asarray, params))
     state = copy.deepcopy(jax.tree_util.tree_map(np.asarray, state))
-
-    def shape_for(leaf):
-        return tuple(np.shape(leaf))
-
-    torch_stream = torch_tensors_in_order(sd)
-    ti = 0
-    converted = 0
-    for path, leaf in ours:
-        if path[-1] == "alpha":
-            want = shape_for(leaf)
-            cast = lambda t: t.reshape(want)
-        elif path[-1] == "kernel" and np.ndim(leaf) == 4:
-            want = shape_for(leaf)
-            cast = lambda t: np.transpose(t, (2, 3, 1, 0))
-        else:
-            want = shape_for(leaf)
-            cast = lambda t: t
-        # scan forward for the next shape-compatible torch tensor
-        while ti < len(torch_stream):
-            _, tv = torch_stream[ti]
-            try:
-                cand = cast(np.asarray(tv))
-            except ValueError:
-                ti += 1
-                continue
-            if cand.shape == want:
-                _assign(params, state, path, cand)
-                converted += 1
-                ti += 1
-                break
-            ti += 1
-        else:
-            break
-    return params, state, converted
-
-
-def _assign(params, state, path, value):
-    for tree in (params, state):
+    loaded, skipped = [], []
+    for key, value in sd.items():
+        try:
+            mapped = _map_enet_key(key)
+        except (KeyError, AssertionError, ValueError) as e:
+            if strict:
+                raise KeyError(f"unmapped ENet key {key}: {e}") from e
+            skipped.append(key)
+            continue
+        if mapped is None:
+            continue
+        which, path, transform = mapped
+        v = np.asarray(value)
+        if transform:
+            v = transform(v)
+        tree = params if which == "params" else state
         node = tree
-        ok = True
-        for p in path[:-1]:
-            if isinstance(node, dict) and p in node:
-                node = node[p]
-            elif isinstance(node, (list, tuple)) and isinstance(p, int) and p < len(node):
-                node = node[p]
-            else:
-                ok = False
-                break
-        if ok and isinstance(node, dict) and path[-1] in node:
-            node[path[-1]] = value.astype(np.float32)
-            return
-    raise KeyError(path)
+        for pth in path[:-1]:
+            node = node[pth]
+        assert np.shape(node[path[-1]]) == v.shape, (
+            f"{key} -> {path}: {np.shape(node[path[-1]])} vs {v.shape}"
+        )
+        node[path[-1]] = v.astype(np.float32)
+        loaded.append(key)
+    return params, state, {"loaded": loaded, "skipped": skipped}

@@ -66,3 +66,39 @@ def test_relation_labels_match_reference(ref_gen, rng):
         for ax in ("x", "y", "z"):
             want = np.load(f"scannet_data/{sid}_{ax}.npy")
             np.testing.assert_array_equal(mine[ax], want, err_msg=f"{ax} seed {seed}")
+
+
+def test_heatmap_visualization_mode(tmp_path):
+    """The data-integrity viz CLI (reference generate_spatiality_label.py
+    :77-100,143-170): renders and saves <scene>_<axis>.png."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo/scripts")
+    try:
+        import visualize_spatiality as viz
+    finally:
+        sys.path.pop(0)
+
+    rng = np.random.RandomState(0)
+    m = 5
+    bboxes = np.concatenate([
+        rng.rand(m, 3) * 4,                   # centers
+        rng.rand(m, 3) * 1.5 + 0.2,           # sizes
+        rng.randint(3, 10, (m, 1)).astype(float),   # nyu40
+        np.arange(m, dtype=float)[:, None],   # obj id
+    ], axis=1)
+    np.save(tmp_path / "scene0000_00_aligned_bbox.npy", bboxes)
+    viz.main([
+        "--scannet_data", str(tmp_path), "--scene_id", "scene0000_00",
+        "--axis", "z", "--savefig", "--regenerate", "--verbose",
+    ])
+    out = tmp_path / "scene0000_00_z.png"
+    assert out.exists() and out.stat().st_size > 1000
+    # dryrun writes nothing
+    viz.main([
+        "--scannet_data", str(tmp_path), "--scene_id", "scene0000_00",
+        "--axis", "x", "--savefig", "--regenerate", "--dryrun",
+    ])
+    assert not (tmp_path / "scene0000_00_x.png").exists()
