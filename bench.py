@@ -217,14 +217,18 @@ def bench_mul_eval_e2e(cfg, dc, num_scenes=141, num_seeds=2, batch_size=8):
     organized = organize_annotations(anns)
     seeds = list(range(num_seeds))
 
+    timing: dict = {}
     t0 = time.perf_counter()
     rows = mul_eval_grid(
         eval_step, params, state, ds, vocab, dc, corpus, organized,
         seeds, batch_size, also_detection=True,
         num_workers=8, score_workers=min(8, num_seeds),
+        timing_out=timing,
     )
     dt = time.perf_counter() - t0
     assert len(rows) == num_seeds
+    import sys
+    print(f"e2e phases: {timing}", file=sys.stderr)
     return num_scenes * num_seeds / dt
 
 

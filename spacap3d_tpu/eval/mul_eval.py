@@ -154,8 +154,15 @@ def mul_eval_grid(
     num_workers: int = 8,
     score_workers: int = 8,
     progress=None,
+    timing_out: Optional[Dict] = None,
 ) -> List[Dict]:
-    """Returns one metrics row per seed (reference CSV layout)."""
+    """Returns one metrics row per seed (reference CSV layout).
+
+    ``timing_out``: optional dict filled with phase wall-clocks
+    ({'stream_s': loader+device+postprocess overlap, 'consume_s': summed
+    host post-processing time across pool threads, 'score_s': per-seed
+    capeval+AP scoring})."""
+    import time as _time
     post = dict(POST_DICT_DEFAULTS, dataset_config=dc)
     candidates: Dict[int, Dict[str, List[str]]] = {s: {} for s in seeds}
     # detection AP is always at IoU 0.5 (min_iou only gates caption
@@ -167,8 +174,10 @@ def mul_eval_grid(
 
     loader = GridLoader(dataset, seeds, batch_size, num_workers=num_workers)
     lock = threading.Lock()
+    consume_s = [0.0]
 
     def consume(batch, out):
+        _t0 = _time.perf_counter()
         out = {k: np.asarray(v) for k, v in out.items()}  # blocks on device
         captions = out["lang_cap"]
         bsize = captions.shape[0]
@@ -205,10 +214,12 @@ def mul_eval_grid(
                 candidates[seed].update(caps)
                 if also_detection:
                     ap_calcs[seed].step([preds[b]], [gts[b]])
+            consume_s[0] += _time.perf_counter() - _t0
 
     # software pipeline: host post-processing of finished batches overlaps
     # the device compute of in-flight ones (jax dispatch is async;
     # np.asarray inside consume blocks on that batch only)
+    _stream_t0 = _time.perf_counter()
     futures = []
     with ThreadPoolExecutor(max_workers=4) as pool:
         for i, batch in enumerate(loader):
@@ -223,6 +234,7 @@ def mul_eval_grid(
                 progress(i + 1, len(loader))
         for f in futures:
             f.result()
+    _stream_s = _time.perf_counter() - _stream_t0
 
     # per-seed scoring (capeval + AP): embarrassingly parallel over seeds
     args = [
@@ -232,6 +244,7 @@ def mul_eval_grid(
          dc.class2type)
         for s in seeds
     ]
+    _score_t0 = _time.perf_counter()
     if score_workers > 1 and len(seeds) > 1:
         # spawn, not fork: fork is unsafe with live JAX threads
         from multiprocessing import get_context
@@ -239,5 +252,8 @@ def mul_eval_grid(
             scored = pool.map(_score_seed, args)
     else:
         scored = [_score_seed(a) for a in args]
+    if timing_out is not None:
+        timing_out.update(stream_s=_stream_s, consume_s=consume_s[0],
+                          score_s=_time.perf_counter() - _score_t0)
 
     return [{"seed": int(s), **m} for s, m in zip(seeds, scored)]
