@@ -51,19 +51,24 @@ def _ball_query_chunk(centers, xyz, radius, nsample):
     c = centers.shape[0]
     nt = n // _TILE
 
-    # ---- hit mask -----------------------------------------------------
-    c2 = jnp.sum(centers * centers, axis=-1, keepdims=True)        # (C, 1)
-    p2 = jnp.sum(xyz * xyz, axis=-1)[None, :]                       # (1, N)
-    cross = jnp.dot(centers, xyz.T, precision=lax.Precision.HIGHEST)
-    d2 = c2 + p2 - 2.0 * cross                                      # (C, N)
+    # ---- hit mask (computed directly in (C, nt, TILE) tile layout so no
+    # relayout copy of the ~40 MB mask is needed downstream) -------------
+    xyz_t = xyz.reshape(nt, _TILE, 3)
+    c2 = jnp.sum(centers * centers, axis=-1)[:, None, None]         # (C,1,1)
+    p2 = jnp.sum(xyz_t * xyz_t, axis=-1)[None]                      # (1,nt,T)
+    cross = jnp.einsum("cd,tjd->ctj", centers, xyz_t,
+                       precision=lax.Precision.HIGHEST)
+    d2 = c2 + p2 - 2.0 * cross                                      # (C,nt,T)
     # bf16 hit mask: 0/1 values and <=128-counts are exact in bf16 passes
-    hit = (d2 < radius * radius).astype(jnp.bfloat16)
+    hit_t = (d2 < radius * radius).astype(jnp.bfloat16)             # (C,nt,T)
 
-    # ---- prefix sums (triangular matmuls on the MXU) -------------------
-    hit_t = hit.reshape(c, nt, _TILE)
-    within = jnp.dot(hit_t, _tri_inclusive(_TILE).astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)            # (C, nt, T)
-    tile_tot = within[:, :, -1]                                     # (C, nt)
+    # ---- per-tile totals + cross-tile prefix (tiny tensors) ------------
+    # Materializing the full per-point inclusive prefix (C, nt, 128) f32
+    # profiled as the SA1 hot spot (~40 MB/chunk written, re-read, and
+    # bf16-copied by XLA). Only the ns SELECTED tiles per center ever
+    # need within-tile prefixes, so: totals first, pick tiles, then
+    # prefix-sum just the gathered (C, ns, 128) hit rows.
+    tile_tot = jnp.sum(hit_t.astype(jnp.float32), axis=-1)          # (C, nt)
     tile_incl = jnp.dot(tile_tot, _tri_inclusive(nt),
                         preferred_element_type=jnp.float32)         # (C, nt)
     tile_excl = tile_incl - tile_tot
@@ -78,17 +83,25 @@ def _ball_query_chunk(centers, xyz, radius, nsample):
     sel_tile = jnp.minimum(sel_tile, nt - 1)
 
     # ---- slot -> within-tile position ----------------------------------
-    # XLA's dynamic row-gather profiled ~5 GB/s here; select the tile's
-    # prefix row with a one-hot MXU matmul instead. Within-tile counts are
-    # <= 128 so bf16 passes are exact; the cross-tile offset (values up to
-    # N) is selected separately at HIGHEST precision.
+    # XLA's dynamic row-gather profiled ~5 GB/s here; gather each slot's
+    # hit tile with a one-hot MXU matmul instead, then prefix-sum the
+    # gathered rows with one (128,128) triangular matmul. 0/1 values and
+    # <=128 counts are exact in bf16 passes; the cross-tile offset
+    # (values up to N) is selected separately at HIGHEST precision.
     onehot = (
         lax.broadcasted_iota(jnp.int32, (c, nsample, nt), 2)
         == sel_tile[..., None]
-    ).astype(jnp.float32)                                           # (C, ns, nt)
-    rows = jnp.einsum("cst,ctj->csj", onehot, within)               # (C, ns, T)
+    )                                                               # (C, ns, nt)
+    gathered = jnp.einsum(
+        "cst,ctj->csj", onehot.astype(jnp.bfloat16), hit_t,
+        preferred_element_type=jnp.float32,
+    )                                                               # (C, ns, T)
+    rows = jnp.dot(gathered.astype(jnp.bfloat16),
+                   _tri_inclusive(_TILE).astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)              # (C, ns, T)
     excl_at = jnp.einsum(
-        "cst,ct->cs", onehot, tile_excl, precision=lax.Precision.HIGHEST
+        "cst,ct->cs", onehot.astype(jnp.float32), tile_excl,
+        precision=lax.Precision.HIGHEST,
     )                                                               # (C, ns)
     rank = targets[None, :] - excl_at                               # (C, ns)
     sel_in = jnp.sum(
