@@ -106,20 +106,26 @@ void compute_votes(const double* xyz, const int64_t* ins, const int64_t* sem,
 
 // Count of scene points inside each axis-aligned box (for eval's
 // remove_empty_box, reference ap_helper.py:69-79). boxes given as
-// (k, 6) [lo_xyz, hi_xyz]; counts out (k,).
+// (k, 6) [lo_xyz, hi_xyz]; counts out (k,). When cap > 0, counting a box
+// stops at cap hits — the caller only tests counts >= 5, so the common
+// dense box finishes after a few points instead of scanning all 40k
+// (profiled 47 ms -> sub-ms per scene).
 void points_in_boxes(const float* pc /*n*3*/, int64_t n,
                      const double* boxes /*k*6*/, int64_t k,
-                     int32_t* counts) {
-  for (int64_t b = 0; b < k; ++b) counts[b] = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    const float x = pc[i * 3], y = pc[i * 3 + 1], z = pc[i * 3 + 2];
-    for (int64_t b = 0; b < k; ++b) {
-      const double* bx = boxes + b * 6;
-      if (x >= bx[0] && x <= bx[3] && y >= bx[1] && y <= bx[4] &&
-          z >= bx[2] && z <= bx[5]) {
-        counts[b] += 1;
+                     int32_t cap, int32_t* counts) {
+  for (int64_t b = 0; b < k; ++b) {
+    const double* bx = boxes + b * 6;
+    const float lox = (float)bx[0], loy = (float)bx[1], loz = (float)bx[2];
+    const float hix = (float)bx[3], hiy = (float)bx[4], hiz = (float)bx[5];
+    int32_t c = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      const float x = pc[i * 3], y = pc[i * 3 + 1], z = pc[i * 3 + 2];
+      if (x >= lox && x <= hix && y >= loy && y <= hiy && z >= loz &&
+          z <= hiz) {
+        if (++c >= cap && cap > 0) break;
       }
     }
+    counts[b] = c;
   }
 }
 

@@ -26,12 +26,19 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_NATIVE_DIR, "spacap_host.cpp")
+    stale = (
+        not os.path.exists(_LIB_PATH)
+        or (os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    )
+    if stale:
         try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-B"], check=True,
                            capture_output=True)
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -50,7 +57,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.percentile.restype = ctypes.c_double
     lib.percentile.argtypes = [f64p, c64, ctypes.c_double]
     lib.compute_votes.argtypes = [f64p, i64p, i64p, u8p, c64, f64p, f64p]
-    lib.points_in_boxes.argtypes = [f32p, c64, f64p, c64, i32p]
+    lib.points_in_boxes.argtypes = [f32p, c64, f64p, c64, ctypes.c_int32, i32p]
     _lib = lib
     return lib
 
@@ -104,7 +111,9 @@ def compute_votes_native(xyz, ins, sem, nyu_ids):
     return votes, mask
 
 
-def points_in_boxes_native(pc, lo, hi):
+def points_in_boxes_native(pc, lo, hi, cap: int = 0):
+    """Per-box contained-point counts; with cap > 0 each box's count
+    saturates at cap (remove_empty_box only tests >= 5)."""
     lib = _load()
     if lib is None:
         return None
@@ -113,5 +122,5 @@ def points_in_boxes_native(pc, lo, hi):
         np.concatenate([lo, hi], axis=-1), np.float64
     )
     counts = np.empty(len(boxes), np.int32)
-    lib.points_in_boxes(pc, len(pc), boxes, len(boxes), counts)
+    lib.points_in_boxes(pc, len(pc), boxes, len(boxes), int(cap), counts)
     return counts

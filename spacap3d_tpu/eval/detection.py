@@ -48,21 +48,21 @@ def box3d_iou_np(corners1: np.ndarray, corners2: np.ndarray) -> float:
 
 def _greedy_nms(lo, hi, score, thresh, cls=None, union_eps=0.0):
     area = np.prod(hi - lo, axis=-1)
-    order = list(np.argsort(score))
+    order = np.argsort(score)  # ascending; pop from the end
     pick = []
-    while order:
-        i = order.pop()
+    while order.size:
+        i = int(order[-1])
+        order = order[:-1]
         pick.append(i)
-        if not order:
+        if not order.size:
             break
-        rest = np.array(order)
-        l = np.maximum(lo[i], lo[rest])
-        h = np.minimum(hi[i], hi[rest])
+        l = np.maximum(lo[i], lo[order])
+        h = np.minimum(hi[i], hi[order])
         inter = np.prod(np.maximum(h - l, 0), axis=-1)
-        o = inter / (area[i] + area[rest] - inter + union_eps)
+        o = inter / (area[i] + area[order] - inter + union_eps)
         if cls is not None:
-            o = o * (cls[i] == cls[rest])
-        order = [j for j, ov in zip(order, o) if ov <= thresh]
+            o = o * (cls[i] == cls[order])
+        order = order[o <= thresh]
     return pick
 
 
@@ -173,7 +173,9 @@ def parse_predictions(ep: Dict[str, np.ndarray], config: Dict) -> List[List[Tupl
 
         pc = np.asarray(ep["point_clouds"])[:, :, :3]    # (B, N, 3)
         for i in range(bsize):
-            counts = points_in_boxes_native(pc[i], box_lo[i], box_hi[i])
+            # only counts >= 5 matters: cap lets the kernel stop early
+            counts = points_in_boxes_native(pc[i], box_lo[i], box_hi[i],
+                                            cap=5)
             if counts is None:
                 inside = (
                     (pc[i][None, :, :] >= box_lo[i][:, None, :])
