@@ -32,13 +32,24 @@ def nn_distance(
     vice versa.  Distance is squared-L2 by default, L1 with ``l1=True``,
     summed huber with ``l1smooth=True`` — matching the reference exactly.
     """
-    diff = pc1[:, :, None, :] - pc2[:, None, :, :]   # (B, N, M, C)
-    if l1smooth:
-        d = jnp.sum(huber_loss(diff, delta), axis=-1)
-    elif l1:
-        d = jnp.sum(jnp.abs(diff), axis=-1)
-    else:
-        d = jnp.sum(diff * diff, axis=-1)
+    # Unrolled per coordinate: materializing the (B, N, M, C) broadcast
+    # diff puts C(=3) on the lane axis, which TPU tiling pads to 128 — a
+    # ~42x memory blowup that profiled ~30 ms/step in the train loss.
+    # Summing per-coordinate (B, N, M) terms in axis order is the same
+    # float addition order as sum(..., axis=-1), i.e. bitwise identical.
+    c = pc1.shape[-1]
+
+    def term(k):
+        dk = pc1[:, :, None, k] - pc2[:, None, :, k]    # (B, N, M)
+        if l1smooth:
+            return huber_loss(dk, delta)
+        if l1:
+            return jnp.abs(dk)
+        return dk * dk
+
+    d = term(0)
+    for k in range(1, c):
+        d = d + term(k)
     dist1 = jnp.min(d, axis=2)
     idx1 = jnp.argmin(d, axis=2).astype(jnp.int32)
     dist2 = jnp.min(d, axis=1)

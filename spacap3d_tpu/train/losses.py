@@ -34,9 +34,15 @@ def _masked_mean(x, mask, eps=1e-6):
 
 
 def _ce(logits, labels):
-    """Per-element cross entropy, labels int (...), logits (..., C)."""
+    """Per-element cross entropy, labels int (...), logits (..., C).
+
+    Label selection via one-hot multiply-sum: the take_along_axis gather
+    profiled ~34 ms per relation axis (B*K*K latency-bound lookups);
+    the masked sum is exact (identical value and gradient)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    onehot = jax.nn.one_hot(labels.astype(jnp.int32), logits.shape[-1],
+                            dtype=logp.dtype)
+    return -jnp.sum(logp * onehot, axis=-1)
 
 
 def compute_vote_loss(ep: Dict) -> jnp.ndarray:
@@ -159,10 +165,20 @@ def compute_relation_loss(ep: Dict):
     assign = ep["object_assignment"].astype(jnp.int32)        # (B, K)
     b, k = assign.shape
 
+    # 2-D label gather label[b, assign[i], assign[j]] as two one-hot MXU
+    # matmuls: the chained take_along_axis gathers over B*K*K elements
+    # profiled ~34 ms/axis on TPU (dynamic gathers are latency-bound).
+    # Labels are classes {0,1,2}: exact in bf16 passes with f32 accumulate.
+    m = ep["x_label"].shape[1]
+    a_onehot = jax.nn.one_hot(assign, m, dtype=jnp.bfloat16)   # (B, K, M)
+
     def gather2d(label):
-        g = jnp.take_along_axis(label, assign[..., None], axis=1)  # rows
-        g = jnp.take_along_axis(g, assign[:, None, :], axis=2)     # cols
-        return g
+        lf = label.astype(jnp.bfloat16)
+        t = jnp.einsum("bkl,bjl->bkj", lf, a_onehot,
+                       preferred_element_type=jnp.float32)     # (B, M, K)
+        g = jnp.einsum("bik,bkj->bij", a_onehot, t.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)     # (B, K, K)
+        return jnp.round(g).astype(jnp.int32)
 
     valid = (
         jnp.take_along_axis(ep["box_label_mask_int"], assign, axis=1)
