@@ -121,12 +121,14 @@ def ball_query(
     new_xyz: jnp.ndarray,
     radius: float,
     nsample: int,
-    chunk: int = 256,
+    chunk: int = 2048,
 ) -> jnp.ndarray:
     """xyz: (B, N, 3), new_xyz: (B, m, 3) -> (B, m, nsample) int32.
 
-    Non-differentiable index op. Centers are processed in chunks so the
-    (chunk, N) hit tile stays cache-resident.
+    Non-differentiable index op. Centers are processed in chunks of
+    ``chunk``; one big chunk profiled 2x faster than 256-center chunks
+    (the lax.map chunk loop serializes; a single fused region lets XLA
+    pipeline the whole mask/prefix/select computation).
     """
     b, m, _ = new_xyz.shape
     # pad the point axis to the lane tile with far-away never-hit points
