@@ -47,7 +47,18 @@ def box3d_iou_np(corners1: np.ndarray, corners2: np.ndarray) -> float:
 # -----------------------------------------------------------------------------
 
 def _greedy_nms(lo, hi, score, thresh, cls=None, union_eps=0.0):
+    # Precompute the full pairwise-overlap matrix in one vectorized pass
+    # (identical elementwise arithmetic to the reference's per-row
+    # computation, utils/nms.py:71-150), so the greedy loop below is a
+    # fancy-index per pick instead of O(K) numpy ops per pick — profiled
+    # ~10x faster at K=256 and the dominant cost of parse_predictions.
     area = np.prod(hi - lo, axis=-1)
+    l = np.maximum(lo[:, None, :], lo[None, :, :])
+    h = np.minimum(hi[:, None, :], hi[None, :, :])
+    inter = np.prod(np.maximum(h - l, 0), axis=-1)
+    o_mat = inter / (area[:, None] + area[None, :] - inter + union_eps)
+    if cls is not None:
+        o_mat = o_mat * (cls[:, None] == cls[None, :])
     order = np.argsort(score)  # ascending; pop from the end
     pick = []
     while order.size:
@@ -56,13 +67,7 @@ def _greedy_nms(lo, hi, score, thresh, cls=None, union_eps=0.0):
         pick.append(i)
         if not order.size:
             break
-        l = np.maximum(lo[i], lo[order])
-        h = np.minimum(hi[i], hi[order])
-        inter = np.prod(np.maximum(h - l, 0), axis=-1)
-        o = inter / (area[i] + area[order] - inter + union_eps)
-        if cls is not None:
-            o = o * (cls[i] == cls[order])
-        order = order[o <= thresh]
+        order = order[o_mat[i, order] <= thresh]
     return pick
 
 
@@ -155,9 +160,10 @@ def _nms_old(lo, hi, score, thresh):
 # parse predictions / groundtruths
 # -----------------------------------------------------------------------------
 
-def parse_predictions(ep: Dict[str, np.ndarray], config: Dict) -> List[List[Tuple]]:
-    """reference lib/ap_helper.py:44-160. ``ep`` values are host numpy
-    arrays. Writes ep['pred_mask'] and returns batch_pred_map_cls."""
+def _pred_mask(ep: Dict[str, np.ndarray], config: Dict):
+    """Shared NMS/empty-box stage of prediction parsing. Writes
+    ep['pred_mask'] and returns (pred_mask, corners, sem_cls, sem_probs,
+    obj_prob)."""
     corners = np.asarray(ep["bbox_corner"])              # (B, K, 8, 3)
     bsize, k = corners.shape[:2]
     sem_cls = np.asarray(ep["sem_cls"])                  # (B, K)
@@ -208,7 +214,15 @@ def parse_predictions(ep: Dict[str, np.ndarray], config: Dict) -> List[List[Tupl
         assert len(pick) > 0
         pred_mask[i, idx[pick]] = 1
     ep["pred_mask"] = pred_mask
+    return pred_mask, corners, sem_cls, sem_probs, obj_prob
 
+
+def parse_predictions(ep: Dict[str, np.ndarray], config: Dict) -> List[List[Tuple]]:
+    """reference lib/ap_helper.py:44-160. ``ep`` values are host numpy
+    arrays. Writes ep['pred_mask'] and returns batch_pred_map_cls as
+    per-scan lists of (class, corners, score) tuples."""
+    pred_mask, corners, sem_cls, sem_probs, obj_prob = _pred_mask(ep, config)
+    bsize, k = pred_mask.shape
     conf_thresh = config.get("conf_thresh", 0.05)
     num_class = config["dataset_config"].num_class
     batch_pred_map_cls = []
@@ -228,6 +242,36 @@ def parse_predictions(ep: Dict[str, np.ndarray], config: Dict) -> List[List[Tupl
     return batch_pred_map_cls
 
 
+def parse_predictions_arrays(ep: Dict[str, np.ndarray], config: Dict) -> List[Dict]:
+    """Array-form parse_predictions: same decisions, but each scan's
+    predictions come out as {'cls' (P,), 'corners' (P,8,3), 'conf' (P,)}
+    arrays instead of P python tuples. With per_class_proposal the
+    expansion is class-major exactly like the tuple layout (the reference
+    appends all of class 0, then class 1, ... lib/ap_helper.py:137-146),
+    so downstream sorting/decisions are identical. Avoids building ~2k
+    tuples per scan on the eval hot path."""
+    pred_mask, corners, sem_cls, sem_probs, obj_prob = _pred_mask(ep, config)
+    bsize = pred_mask.shape[0]
+    conf_thresh = config.get("conf_thresh", 0.05)
+    num_class = config["dataset_config"].num_class
+    out = []
+    for i in range(bsize):
+        keep = np.where((pred_mask[i] == 1) & (obj_prob[i] > conf_thresh))[0]
+        nk = len(keep)
+        if config.get("per_class_proposal", True):
+            # (class-major, keep-minor) = tuple layout
+            cls = np.repeat(np.arange(num_class), nk)
+            crn = np.tile(corners[i, keep], (num_class, 1, 1))
+            conf = (sem_probs[i, keep, :num_class] * obj_prob[i, keep, None]
+                    ).T.reshape(-1)
+        else:
+            cls = sem_cls[i, keep].astype(np.int64)
+            crn = corners[i, keep]
+            conf = obj_prob[i, keep]
+        out.append({"cls": cls, "corners": crn, "conf": conf})
+    return out
+
+
 def parse_groundtruths(ep: Dict[str, np.ndarray], config: Dict) -> List[List[Tuple]]:
     """reference lib/ap_helper.py:163-192."""
     box_mask = np.asarray(ep["box_label_mask"])
@@ -240,6 +284,19 @@ def parse_groundtruths(ep: Dict[str, np.ndarray], config: Dict) -> List[List[Tup
             [(int(sem_label[i, j]), gt_corners[i, j])
              for j in range(gt_corners.shape[1]) if box_mask[i, j] == 1]
         )
+    return out
+
+
+def parse_groundtruths_arrays(ep: Dict[str, np.ndarray], config: Dict) -> List[Dict]:
+    """Array-form parse_groundtruths: {'cls' (G,), 'corners' (G,8,3)}."""
+    box_mask = np.asarray(ep["box_label_mask"])
+    sem_label = np.asarray(ep["sem_cls_label"])
+    gt_corners = np.asarray(ep["gt_box_corner_label"])
+    out = []
+    for i in range(sem_label.shape[0]):
+        sel = np.where(box_mask[i] == 1)[0]
+        out.append({"cls": sem_label[i, sel].astype(np.int64),
+                    "corners": gt_corners[i, sel]})
     return out
 
 
@@ -257,74 +314,68 @@ def voc_ap(rec: np.ndarray, prec: np.ndarray, use_07_metric=False) -> float:
         return ap
     mrec = np.concatenate(([0.0], rec, [1.0]))
     mpre = np.concatenate(([0.0], prec, [0.0]))
-    for i in range(mpre.size - 1, 0, -1):
-        mpre[i - 1] = np.maximum(mpre[i - 1], mpre[i])
+    # running max from the right — sequential max, identical to the
+    # reference's backwards python loop (utils/eval_det.py:45-46)
+    mpre = np.maximum.accumulate(mpre[::-1])[::-1]
     idx = np.where(mrec[1:] != mrec[:-1])[0]
     return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
 
 
-def eval_det_cls(pred: Dict, gt: Dict, ovthresh=0.25, use_07_metric=False):
-    """Per-class precision/recall/AP (reference utils/eval_det.py:73-158).
+def _eval_det_cls_core(det_img, det_mn, det_mx, conf,
+                       gt_img, gt_mn, gt_mx, npos,
+                       ovthresh, use_07_metric):
+    """Vectorized per-class PR/AP core, decision-identical to the
+    reference's greedy per-detection loop (utils/eval_det.py:97-158):
 
-    pred: {img_id: [(corners, score)]}, gt: {img_id: [corners]}."""
-    class_recs = {}
-    npos = 0
-    for img_id, boxes in gt.items():
-        gtb = np.array(boxes)
-        rec = {"bbox": gtb, "det": [False] * len(boxes)}
-        if len(boxes):
-            # cached per-GT AABBs: the greedy loop below computes each
-            # det's IoU against ALL of an image's GTs in one vectorized
-            # step (the reference called box3d_iou per pair in python,
-            # utils/eval_det.py:113-121 — decision-identical, ~30x faster)
-            rec["mn"] = gtb.astype(float).min(axis=1)      # (G, 3)
-            rec["mx"] = gtb.astype(float).max(axis=1)
-            rec["vol"] = np.prod(rec["mx"] - rec["mn"], -1)
-        class_recs[img_id] = rec
-        npos += len(boxes)
-    for img_id in pred:
-        if img_id not in class_recs:
-            class_recs[img_id] = {"bbox": np.array([]), "det": []}
+      * detections processed in np.argsort(-confidence) order (same array,
+        same sort — identical permutation incl. ties);
+      * each detection's best GT in ITS image by first-maximum IoU
+        (float64 AABB IoU with the reference's +1e-8 union epsilon);
+      * a GT box counts at most one TP — the greedy 'rec.det[jmax]' check
+        is exactly 'first detection in sorted order claiming (img, jmax)',
+        computed with one np.unique(return_index=True) over composite keys.
 
-    image_ids, confidence, bbs = [], [], []
-    for img_id, dets in pred.items():
-        for box, score in dets:
-            image_ids.append(img_id)
-            confidence.append(score)
-            bbs.append(box)
-    confidence = np.array(confidence)
-    order = np.argsort(-confidence)
-    image_ids = [image_ids[i] for i in order]
-    bbs = [bbs[i] for i in order]
+    All arrays are flat over this class's detections / GT boxes; img ids
+    are int64 indices. Returns (recall, precision, ap)."""
+    nd = det_img.shape[0]
+    order = np.argsort(-conf)
+    det_img = det_img[order]
+    det_mn = det_mn[order]
+    det_mx = det_mx[order]
 
-    nd = len(image_ids)
-    tp = np.zeros(nd)
-    fp = np.zeros(nd)
-    for d in range(nd):
-        rec = class_recs[image_ids[d]]
-        gtb = rec["bbox"]
-        ovmax, jmax = -np.inf, -1
-        if gtb.shape[0]:
-            bb = np.asarray(bbs[d], float)
-            mn1, mx1 = bb.min(0), bb.max(0)
+    ovmax = np.full(nd, -np.inf)
+    jmax = np.full(nd, -1, np.int64)
+    if gt_img.shape[0]:
+        gvol = np.prod(gt_mx - gt_mn, -1)
+        for img in np.unique(det_img):
+            gsel = np.where(gt_img == img)[0]
+            if not gsel.size:
+                continue
+            dsel = np.where(det_img == img)[0]
             inter = np.prod(
-                np.maximum(np.minimum(mx1, rec["mx"]) - np.maximum(mn1, rec["mn"]), 0),
+                np.maximum(
+                    np.minimum(det_mx[dsel, None], gt_mx[None, gsel])
+                    - np.maximum(det_mn[dsel, None], gt_mn[None, gsel]),
+                    0,
+                ),
                 -1,
-            )
-            v1 = np.prod(mx1 - mn1)
-            iou = inter / (v1 + rec["vol"] - inter + 1e-8)
+            )                                             # (D, G)
+            dvol = np.prod(det_mx[dsel] - det_mn[dsel], -1)
+            iou = inter / (dvol[:, None] + gvol[None, gsel] - inter + 1e-8)
             # argmax takes the FIRST maximum — same tie-break as the
             # reference's strict `iou > ovmax` scan
-            jmax = int(np.argmax(iou))
-            ovmax = iou[jmax]
-        if ovmax > ovthresh:
-            if not rec["det"][jmax]:
-                tp[d] = 1.0
-                rec["det"][jmax] = True
-            else:
-                fp[d] = 1.0
-        else:
-            fp[d] = 1.0
+            jm = np.argmax(iou, axis=1)
+            ovmax[dsel] = iou[np.arange(len(dsel)), jm]
+            jmax[dsel] = gsel[jm]                         # global gt index
+
+    tp = np.zeros(nd)
+    kidx = np.where(ovmax > ovthresh)[0]                  # ascending = sorted order
+    if kidx.size:
+        # jmax is a GLOBAL gt index (unique across images), so it alone
+        # keys the greedy 'already detected' check
+        _, first = np.unique(jmax[kidx], return_index=True)
+        tp[kidx[first]] = 1.0
+    fp = 1.0 - tp
 
     fp = np.cumsum(fp)
     tp = np.cumsum(tp)
@@ -333,39 +384,146 @@ def eval_det_cls(pred: Dict, gt: Dict, ovthresh=0.25, use_07_metric=False):
     return recall, precision, voc_ap(recall, precision, use_07_metric)
 
 
-def _eval_cls_worker(args):
-    return eval_det_cls(*args)
+def eval_det_cls(pred: Dict, gt: Dict, ovthresh=0.25, use_07_metric=False):
+    """Per-class precision/recall/AP (reference utils/eval_det.py:73-158).
+
+    pred: {img_id: [(corners, score)]}, gt: {img_id: [corners]}.
+    Thin adapter over the vectorized core: flattens the per-image tuple
+    lists into arrays in the reference's iteration order (image insertion
+    order, then per-image detection order) so sorting and greedy
+    decisions are identical."""
+    img_index = {}
+    for img_id in list(gt.keys()) + list(pred.keys()):
+        if img_id not in img_index:
+            img_index[img_id] = len(img_index)
+
+    npos = sum(len(boxes) for boxes in gt.values())
+    gt_img, gt_mn, gt_mx = [], [], []
+    for img_id, boxes in gt.items():
+        if len(boxes):
+            gtb = np.asarray(boxes, float)                # (G, 8, 3)
+            gt_img.append(np.full(len(boxes), img_index[img_id], np.int64))
+            gt_mn.append(gtb.min(axis=1))
+            gt_mx.append(gtb.max(axis=1))
+    gt_img = np.concatenate(gt_img) if gt_img else np.zeros(0, np.int64)
+    gt_mn = np.concatenate(gt_mn) if len(gt_mn) else np.zeros((0, 3))
+    gt_mx = np.concatenate(gt_mx) if len(gt_mx) else np.zeros((0, 3))
+
+    image_ids, confidence, bbs = [], [], []
+    for img_id, dets in pred.items():
+        for box, score in dets:
+            image_ids.append(img_index[img_id])
+            confidence.append(score)
+            bbs.append(np.asarray(box, float))
+    det_img = np.asarray(image_ids, np.int64)
+    conf = np.array(confidence)
+    if len(bbs):
+        bbs = np.stack(bbs)                               # (D, 8, 3)
+        det_mn, det_mx = bbs.min(axis=1), bbs.max(axis=1)
+    else:
+        det_mn = det_mx = np.zeros((0, 3))
+    return _eval_det_cls_core(det_img, det_mn, det_mx, conf,
+                              gt_img, gt_mn, gt_mx, npos,
+                              ovthresh, use_07_metric)
+
+
+def _normalize_pred_scan(entry):
+    """A scan's predictions -> {'cls','corners','conf'} arrays; accepts
+    the tuple-list form or the already-array form."""
+    if isinstance(entry, dict):
+        return entry
+    if len(entry) == 0:
+        return {"cls": np.zeros(0, np.int64),
+                "corners": np.zeros((0, 8, 3)),
+                "conf": np.zeros(0)}
+    cls = np.array([c for c, _, _ in entry], np.int64)
+    corners = np.stack([np.asarray(b) for _, b, _ in entry])
+    conf = np.array([s for _, _, s in entry])
+    return {"cls": cls, "corners": corners, "conf": conf}
+
+
+def _normalize_gt_scan(entry):
+    if isinstance(entry, dict):
+        return entry
+    if len(entry) == 0:
+        return {"cls": np.zeros(0, np.int64), "corners": np.zeros((0, 8, 3))}
+    cls = np.array([c for c, _ in entry], np.int64)
+    corners = np.stack([np.asarray(b) for _, b in entry])
+    return {"cls": cls, "corners": corners}
 
 
 def eval_det(pred_all: Dict, gt_all: Dict, ovthresh=0.25, use_07_metric=False,
              num_workers: int = 10):
-    """Multi-class AP; classes evaluated in a process pool like the
-    reference (utils/eval_det.py:207-253, Pool(10))."""
-    pred: Dict = {}
-    gt: Dict = {}
-    for img_id, dets in pred_all.items():
-        for classname, bbox, score in dets:
-            pred.setdefault(classname, {}).setdefault(img_id, []).append((bbox, score))
-            gt.setdefault(classname, {}).setdefault(img_id, [])
-    for img_id, gts in gt_all.items():
-        for classname, bbox in gts:
-            gt.setdefault(classname, {}).setdefault(img_id, []).append(bbox)
+    """Multi-class AP over {scan: predictions}, {scan: gts}.
 
+    Scan entries may be tuple lists (reference layout) or the array dicts
+    from parse_*_arrays. Fully vectorized: per-scan arrays are
+    concatenated once (scan order = the reference's dict insertion order)
+    and each class runs through _eval_det_cls_core — the reference's
+    Pool(10)-over-classes (utils/eval_det.py:207-253) is obsolete at
+    ~5 ms/class (``num_workers`` kept for API compatibility)."""
+    del num_workers
+    scan_ids = list(pred_all.keys())
+    scan_index = {s: i for i, s in enumerate(scan_ids)}
+
+    d_img, d_cls, d_mn, d_mx, d_conf = [], [], [], [], []
+    for s in scan_ids:
+        e = _normalize_pred_scan(pred_all[s])
+        n = len(e["cls"])
+        if n:
+            crn = np.asarray(e["corners"], float)
+            d_img.append(np.full(n, scan_index[s], np.int64))
+            d_cls.append(np.asarray(e["cls"], np.int64))
+            d_mn.append(crn.min(axis=1))
+            d_mx.append(crn.max(axis=1))
+            d_conf.append(np.asarray(e["conf"]))
+    g_img, g_cls, g_mn, g_mx = [], [], [], []
+    extra_scans = 0
+    for s, entry in gt_all.items():
+        e = _normalize_gt_scan(entry)
+        n = len(e["cls"])
+        if not n:
+            continue
+        if s in scan_index:
+            img = scan_index[s]
+        else:
+            # GT for a scan with no prediction entry: its boxes still
+            # count in npos (no detection can ever match them)
+            img = len(scan_index) + extra_scans
+            extra_scans += 1
+        crn = np.asarray(e["corners"], float)
+        g_img.append(np.full(n, img, np.int64))
+        g_cls.append(np.asarray(e["cls"], np.int64))
+        g_mn.append(crn.min(axis=1))
+        g_mx.append(crn.max(axis=1))
+
+    def cat(parts, shape, dtype=float):
+        return np.concatenate(parts) if parts else np.zeros(shape, dtype)
+
+    d_img = cat(d_img, (0,), np.int64)
+    d_cls = cat(d_cls, (0,), np.int64)
+    d_mn = cat(d_mn, (0, 3))
+    d_mx = cat(d_mx, (0, 3))
+    d_conf = cat(d_conf, (0,))
+    g_img = cat(g_img, (0,), np.int64)
+    g_cls = cat(g_cls, (0,), np.int64)
+    g_mn = cat(g_mn, (0, 3))
+    g_mx = cat(g_mx, (0, 3))
+
+    pred_classes = set(np.unique(d_cls).tolist())
+    gt_classes = set(np.unique(g_cls).tolist())
     rec, prec, ap = {}, {}, {}
-    todo = [c for c in gt if c in pred]
-    args = [(pred[c], gt[c], ovthresh, use_07_metric) for c in todo]
-    if num_workers > 1 and len(todo) > 1:
-        # spawn (not fork): fork is unsafe in a process with live JAX threads
-        from multiprocessing import get_context
-        with get_context("spawn").Pool(processes=min(num_workers, len(todo))) as pool:
-            results = pool.map(_eval_cls_worker, args)
-    else:
-        results = [eval_det_cls(*a) for a in args]
-    for c, (r, p, a) in zip(todo, results):
-        rec[c], prec[c], ap[c] = r, p, a
-    for c in gt:
-        if c not in pred:
+    for c in sorted(pred_classes | gt_classes):
+        if c not in pred_classes:
             rec[c], prec[c], ap[c] = 0, 0, 0
+            continue
+        dsel = d_cls == c
+        gsel = g_cls == c
+        rec[c], prec[c], ap[c] = _eval_det_cls_core(
+            d_img[dsel], d_mn[dsel], d_mx[dsel], d_conf[dsel],
+            g_img[gsel], g_mn[gsel], g_mx[gsel], int(gsel.sum()),
+            ovthresh, use_07_metric,
+        )
     return rec, prec, ap
 
 
@@ -381,8 +539,10 @@ class APCalculator:
     def step(self, batch_pred_map_cls, batch_gt_map_cls):
         assert len(batch_pred_map_cls) == len(batch_gt_map_cls)
         for pred, gt in zip(batch_pred_map_cls, batch_gt_map_cls):
-            self.gt_map_cls[self.scan_cnt] = gt
-            self.pred_map_cls[self.scan_cnt] = pred
+            # normalized array form: compact to hold (and to pickle when a
+            # seed's AP state crosses a worker boundary in mul_eval)
+            self.gt_map_cls[self.scan_cnt] = _normalize_gt_scan(gt)
+            self.pred_map_cls[self.scan_cnt] = _normalize_pred_scan(pred)
             self.scan_cnt += 1
 
     def compute_metrics(self, num_workers: int = 10):

@@ -35,7 +35,9 @@ from spacap3d_tpu.eval import capeval
 from spacap3d_tpu.eval.detection import (
     APCalculator,
     parse_groundtruths,
+    parse_groundtruths_arrays,
     parse_predictions,
+    parse_predictions_arrays,
 )
 from spacap3d_tpu.eval.detection import softmax_np as _softmax_np
 
@@ -82,7 +84,7 @@ def postprocess_batch(out: Dict, batch: Dict, post: Dict, min_iou: float,
     Returns (nms_mask, detected_object_ids, ious, preds, gts)."""
     ep_host = dict(out)
     ep_host["point_clouds"] = batch["point_clouds"]
-    preds = parse_predictions(ep_host, post)
+    preds = parse_predictions_arrays(ep_host, post)
     nms_mask = ep_host["pred_mask"] * (out["bbox_mask"] != 0)
 
     assign = out["object_assignment"].astype(np.int64)          # (B, K)
@@ -103,7 +105,7 @@ def postprocess_batch(out: Dict, batch: Dict, post: Dict, min_iou: float,
 
     gts = None
     if with_detection:
-        gts = parse_groundtruths(
+        gts = parse_groundtruths_arrays(
             {k: batch[k] for k in
              ("box_label_mask", "sem_cls_label", "gt_box_corner_label")},
             post,
@@ -226,8 +228,8 @@ def eval_detection(
         out = eval_step(params, state, dev_batch)
         out = {k: np.asarray(v) for k, v in out.items()}
         out["point_clouds"] = batch["point_clouds"]
-        preds = parse_predictions(out, post)
-        gts = parse_groundtruths(
+        preds = parse_predictions_arrays(out, post)
+        gts = parse_groundtruths_arrays(
             {k: batch[k] for k in
              ("box_label_mask", "sem_cls_label", "gt_box_corner_label")},
             post,

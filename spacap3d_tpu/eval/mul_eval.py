@@ -115,9 +115,11 @@ class GridLoader:
 
 
 def _score_seed(args):
-    """One seed's full scoring (capeval + detection AP) — runs in a
-    spawn-pool worker, so the 100 seeds' CPU-bound scoring parallelizes
-    at the seed level."""
+    """One seed's full scoring (capeval + detection AP). Runs on a thread
+    pool overlapped with the device stream: the grid is seed-major, so a
+    seed's candidate set is complete long before the stream ends and its
+    scoring (~1 s: python capeval + the vectorized array AP) hides behind
+    the remaining seeds' device work."""
     corpus, candidates, meteor_jar, ap_state, class2type = args
     candidates = check_candidates(corpus, dict(candidates))
     candidates = organize_candidates(corpus, candidates)
@@ -175,6 +177,18 @@ def mul_eval_grid(
     loader = GridLoader(dataset, seeds, batch_size, num_workers=num_workers)
     lock = threading.Lock()
     consume_s = [0.0]
+    rows_per_seed = len(dataset)
+    seed_done_rows = {s: 0 for s in seeds}
+    score_pool = ThreadPoolExecutor(max_workers=max(1, score_workers))
+    score_futures: Dict[int, object] = {}
+
+    def _submit_seed(seed):
+        """Seed complete: score it now, overlapped with the stream."""
+        args = (corpus, candidates[seed], meteor_jar,
+                (ap_calcs[seed].pred_map_cls, ap_calcs[seed].gt_map_cls)
+                if also_detection else None,
+                dc.class2type)
+        score_futures[seed] = score_pool.submit(_score_seed, args)
 
     def consume(batch, out):
         _t0 = _time.perf_counter()
@@ -214,6 +228,9 @@ def mul_eval_grid(
                 candidates[seed].update(caps)
                 if also_detection:
                     ap_calcs[seed].step([preds[b]], [gts[b]])
+                seed_done_rows[seed] += 1
+                if seed_done_rows[seed] == rows_per_seed:
+                    _submit_seed(seed)
             consume_s[0] += _time.perf_counter() - _t0
 
     # software pipeline: host post-processing of finished batches overlaps
@@ -236,22 +253,15 @@ def mul_eval_grid(
             f.result()
     _stream_s = _time.perf_counter() - _stream_t0
 
-    # per-seed scoring (capeval + AP): embarrassingly parallel over seeds
-    args = [
-        (corpus, candidates[s], meteor_jar,
-         (ap_calcs[s].pred_map_cls, ap_calcs[s].gt_map_cls)
-         if also_detection else None,
-         dc.class2type)
-        for s in seeds
-    ]
+    # any seed that never reached its full row count (only possible if the
+    # dataset is empty) plus the tail of in-flight scoring futures
     _score_t0 = _time.perf_counter()
-    if score_workers > 1 and len(seeds) > 1:
-        # spawn, not fork: fork is unsafe with live JAX threads
-        from multiprocessing import get_context
-        with get_context("spawn").Pool(min(score_workers, len(seeds))) as pool:
-            scored = pool.map(_score_seed, args)
-    else:
-        scored = [_score_seed(a) for a in args]
+    with lock:
+        for s in seeds:
+            if s not in score_futures:
+                _submit_seed(s)
+    scored = [score_futures[s].result() for s in seeds]
+    score_pool.shutdown()
     if timing_out is not None:
         timing_out.update(stream_s=_stream_s, consume_s=consume_s[0],
                           score_s=_time.perf_counter() - _score_t0)

@@ -137,8 +137,17 @@ def make_train_step(
 
 def make_eval_step(cfg: ModelConfig, mesh=None, with_caption_decode=True):
     """Eval forward (greedy decode when the model has a captioner) + the
-    detection side-outputs the eval harness needs (object_assignment etc.,
-    reference lib/eval_helper.py:97 runs the loss with caption=False)."""
+    detection side-outputs the eval harness needs.
+
+    The reference runs the FULL loss with caption=False here
+    (lib/eval_helper.py:97) just to obtain object_assignment /
+    objectness_label; those only need one nn_distance against
+    center_label (lib/loss_helper.py:69-108), so compute exactly that —
+    the eval step then consumes only point_clouds + center_label instead
+    of the whole ~40-key label set (less host->device traffic per batch,
+    same outputs)."""
+    from spacap3d_tpu.ops.nn_distance import nn_distance
+    from spacap3d_tpu.train.losses import NEAR_THRESHOLD
 
     # keys consumed by the host-side eval pipeline
     out_keys = (
@@ -153,11 +162,13 @@ def make_eval_step(cfg: ModelConfig, mesh=None, with_caption_decode=True):
             is_eval=with_caption_decode and not cfg.no_caption,
             train=False, rng=None,
         )
-        ep = get_scene_cap_loss(
-            ep, params["mean_size_arr"], cfg.num_heading_bin,
-            cfg.num_size_cluster, detection=True, caption=False,
-            use_relation=False,
+        # objectness label / GT assignment (reference loss_helper.py:69-85)
+        dist1, ind1, _, _ = nn_distance(
+            ep["aggregated_vote_xyz"], batch["center_label"][:, :, :3]
         )
+        edist = jnp.sqrt(dist1 + 1e-6)
+        ep["objectness_label"] = (edist < NEAR_THRESHOLD).astype(jnp.int32)
+        ep["object_assignment"] = ind1
         return {k: ep[k] for k in out_keys if k in ep}
 
     # No explicit in_shardings: the computation follows the argument
