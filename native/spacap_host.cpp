@@ -111,18 +111,27 @@ void compute_votes(const double* xyz, const int64_t* ins, const int64_t* sem,
 // stops at cap hits — the caller only tests counts >= 5, so the common
 // dense box finishes after a few points instead of scanning all 40k
 // (profiled 47 ms -> sub-ms per scene).
-static void points_in_boxes_range(const float* pc, int64_t n,
+static void points_in_boxes_range(const float* sx, const float* sy,
+                                  const float* sz, const int64_t* offs,
+                                  int64_t nb, float xmin, float inv,
                                   const double* boxes, int64_t b0, int64_t b1,
                                   int32_t cap, int32_t* counts) {
+  auto bucket_of = [&](float x) {
+    int64_t b = (int64_t)((x - xmin) * inv);
+    return std::min<int64_t>(std::max<int64_t>(b, 0), nb - 1);
+  };
   for (int64_t b = b0; b < b1; ++b) {
     const double* bx = boxes + b * 6;
     const float lox = (float)bx[0], loy = (float)bx[1], loz = (float)bx[2];
     const float hix = (float)bx[3], hiy = (float)bx[4], hiz = (float)bx[5];
+    // points are bucketed by x: only buckets overlapping [lox, hix] can
+    // hit (x re-tested below — bucket edges are coarse)
+    const int64_t i0 = offs[bucket_of(lox)];
+    const int64_t i1 = offs[bucket_of(hix) + 1];
     int32_t c = 0;
-    for (int64_t i = 0; i < n; ++i) {
-      const float x = pc[i * 3], y = pc[i * 3 + 1], z = pc[i * 3 + 2];
-      if (x >= lox && x <= hix && y >= loy && y <= hiy && z >= loz &&
-          z <= hiz) {
+    for (int64_t i = i0; i < i1; ++i) {
+      if (sx[i] >= lox && sx[i] <= hix && sy[i] >= loy && sy[i] <= hiy &&
+          sz[i] >= loz && sz[i] <= hiz) {
         if (++c >= cap && cap > 0) break;
       }
     }
@@ -133,14 +142,50 @@ static void points_in_boxes_range(const float* pc, int64_t n,
 void points_in_boxes(const float* pc /*n*3*/, int64_t n,
                      const double* boxes /*k*6*/, int64_t k,
                      int32_t cap, int32_t* counts) {
-  // Boxes are independent: split across a few threads (the caller's
-  // ctypes invocation has already released the GIL). Sparse boxes scan
-  // all n points before giving up, so the serial version was ~50 ms per
-  // 8-scene eval batch.
+  // One O(n) bucketing by x amortized over all k boxes turns each box's
+  // scan from O(n) into O(points in the box's x-slab) — a ScanNet box
+  // spans ~10-30% of the scene in x, and the early-out cap (callers only
+  // test counts >= 5) usually fires within a few hits. 256 uniform
+  // buckets + counting-sort scatter beat a comparison sort (~3 ms for
+  // 40k) by ~5x; the scan re-tests x so bucket granularity is
+  // correctness-neutral. Count is scan-order-independent (saturates at
+  // cap), so results are identical to the naive loop.
+  constexpr int64_t NB = 256;
+  float xmin = pc[0], xmax = pc[0];
+  for (int64_t i = 1; i < n; ++i) {
+    const float x = pc[i * 3];
+    xmin = std::min(xmin, x);
+    xmax = std::max(xmax, x);
+  }
+  const float inv = (xmax > xmin) ? NB / (xmax - xmin) : 0.0f;
+  auto bucket_of = [&](float x) {
+    int64_t b = (int64_t)((x - xmin) * inv);
+    return std::min<int64_t>(std::max<int64_t>(b, 0), NB - 1);
+  };
+  std::vector<int64_t> offs(NB + 1, 0);
+  std::vector<int64_t> bkt(n);
+  for (int64_t i = 0; i < n; ++i) {
+    bkt[i] = bucket_of(pc[i * 3]);
+    ++offs[bkt[i] + 1];
+  }
+  for (int64_t b = 0; b < NB; ++b) offs[b + 1] += offs[b];
+  std::vector<float> sx(n), sy(n), sz(n);
+  {
+    std::vector<int64_t> cur(offs.begin(), offs.end() - 1);
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t p = cur[bkt[i]]++;
+      sx[p] = pc[i * 3];
+      sy[p] = pc[i * 3 + 1];
+      sz[p] = pc[i * 3 + 2];
+    }
+  }
+
   const int64_t want = (k + 31) / 32;  // ≥32 boxes per thread
-  int64_t nthreads = std::min<int64_t>({4, want, k});
+  int64_t nthreads = std::min<int64_t>(
+      {(int64_t)std::thread::hardware_concurrency(), 4, want, k});
   if (nthreads <= 1 || k < 8) {
-    points_in_boxes_range(pc, n, boxes, 0, k, cap, counts);
+    points_in_boxes_range(sx.data(), sy.data(), sz.data(), offs.data(), NB,
+                          xmin, inv, boxes, 0, k, cap, counts);
     return;
   }
   std::vector<std::thread> ts;
@@ -148,7 +193,8 @@ void points_in_boxes(const float* pc /*n*3*/, int64_t n,
   for (int64_t t = 0; t < nthreads; ++t) {
     const int64_t b0 = t * chunk, b1 = std::min(k, b0 + chunk);
     if (b0 >= b1) break;
-    ts.emplace_back(points_in_boxes_range, pc, n, boxes, b0, b1, cap, counts);
+    ts.emplace_back(points_in_boxes_range, sx.data(), sy.data(), sz.data(),
+                    offs.data(), NB, xmin, inv, boxes, b0, b1, cap, counts);
   }
   for (auto& th : ts) th.join();
 }

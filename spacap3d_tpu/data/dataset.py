@@ -254,15 +254,24 @@ class ScanReferDataset:
                 out_rel[f"{ax}_label"] = mat
 
         # ----- votes AFTER augmentation (vectorized / native) -------------
-        native_votes = native.compute_votes_native(
-            point_cloud[:, :3], instance_labels, semantic_labels, dc.nyu40ids
-        )
-        if native_votes is not None:
-            point_votes, point_votes_mask = native_votes
-        else:
-            point_votes, point_votes_mask = compute_votes(
-                point_cloud[:, :3], instance_labels, semantic_labels, dc
+        # Vote targets only feed the vote loss, which never runs on val
+        # items (the eval forward consumes point_clouds + center_label
+        # only) — skip the dominant per-item cost there. Deterministic
+        # transform: skipping consumes no RNG, so the point subsample
+        # stays bit-identical to a votes-on build.
+        if self.split == "train":
+            native_votes = native.compute_votes_native(
+                point_cloud[:, :3], instance_labels, semantic_labels, dc.nyu40ids
             )
+            if native_votes is not None:
+                point_votes, point_votes_mask = native_votes
+            else:
+                point_votes, point_votes_mask = compute_votes(
+                    point_cloud[:, :3], instance_labels, semantic_labels, dc
+                )
+        else:
+            point_votes = np.zeros((len(point_cloud), 9))
+            point_votes_mask = np.zeros(len(point_cloud))
 
         # ----- class / size labels ----------------------------------------
         size_classes = np.zeros(MAX_NUM_OBJ)

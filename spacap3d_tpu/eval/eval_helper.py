@@ -126,6 +126,7 @@ def feed_scene_cap(
     batch_to_device=None,
     attn_dump_step=None,
     save_proposal: bool = False,
+    input_filter=None,
 ) -> Tuple[Dict, Optional[APCalculator], Dict, Dict]:
     """Runs the jitted eval forward over the loader; returns (candidates,
     APCalculator when also_detection, attention intermediates, proposal
@@ -137,10 +138,19 @@ def feed_scene_cap(
     post = dict(POST_DICT_DEFAULTS, dataset_config=dc)
     ap_calc = APCalculator(0.5, dc.class2type) if also_detection else None
 
+    from spacap3d_tpu.train.step import eval_input_batch
+    import jax as _jax
+    if input_filter is None:
+        # default: ship only the keys the jitted step reads (each pytree
+        # leaf is a separate host->device transfer)
+        input_filter = eval_input_batch
+
     for batch in loader:
-        dev_batch = batch_to_device(batch) if batch_to_device else batch
+        dev_batch = input_filter(batch)
+        if batch_to_device:
+            dev_batch = batch_to_device(dev_batch)
         out = eval_step(params, state, dev_batch)
-        out = {k: np.asarray(v) for k, v in out.items()}
+        out = _jax.device_get(out)   # one batched fetch, not per-leaf
 
         captions = out["lang_cap"]                       # (B, K, T) int
         bsize, num_proposals = captions.shape[:2]
@@ -162,36 +172,36 @@ def feed_scene_cap(
             enc_attn = np.asarray(enc_attn)
             dec_attn = np.asarray(dec_attn)
 
+        keep = (nms_mask == 1) & good                    # (B, K)
         for b in range(bsize):
             if not valid[b]:
                 continue
             ds_idx = int(batch["dataset_idx"][b])
             scene_id = dataset.annotations[ds_idx]["scene_id"]
             any_valid = False
-            for k in range(num_proposals):
-                if nms_mask[b, k] == 1 and good[b, k]:
-                    object_id = str(int(detected_object_ids[b, k]))
-                    try:
-                        ann_list = list(organized[scene_id][object_id].keys())
-                        object_name = organized[scene_id][object_id][ann_list[0]][
-                            "object_name"
+            for k in np.where(keep[b])[0]:
+                object_id = str(int(detected_object_ids[b, k]))
+                try:
+                    ann_list = list(organized[scene_id][object_id].keys())
+                    object_name = organized[scene_id][object_id][ann_list[0]][
+                        "object_name"
+                    ]
+                except KeyError:
+                    continue
+                any_valid = True
+                key = f"{scene_id}|{object_id}|{object_name}"
+                caption_decoded = vocab.decode(captions[b, k])
+                candidates[key] = [caption_decoded]
+                if attn_dump_step is not None:
+                    entry = {"token": caption_decoded.split(" "),
+                             "prop_id": int(k)}
+                    if enc_attn.size:
+                        entry["encoder_attn_weights"] = enc_attn[:, b]
+                    if dec_attn.size:
+                        entry["decoder_attn_weights"] = dec_attn[
+                            :, b * num_proposals + k
                         ]
-                    except KeyError:
-                        continue
-                    any_valid = True
-                    key = f"{scene_id}|{object_id}|{object_name}"
-                    caption_decoded = vocab.decode(captions[b, k])
-                    candidates[key] = [caption_decoded]
-                    if attn_dump_step is not None:
-                        entry = {"token": caption_decoded.split(" "),
-                                 "prop_id": k}
-                        if enc_attn.size:
-                            entry["encoder_attn_weights"] = enc_attn[:, b]
-                        if dec_attn.size:
-                            entry["decoder_attn_weights"] = dec_attn[
-                                :, b * num_proposals + k
-                            ]
-                        intermediates[key] = entry
+                    intermediates[key] = entry
             if any_valid and save_proposal:
                 obj_prob = _softmax_np(out["objectness_scores"][b])[:, 1]
                 proposal_dump[scene_id] = {
@@ -216,17 +226,23 @@ def feed_scene_cap(
 
 def eval_detection(
     eval_step, params, state, loader, dc: ScannetDatasetConfig,
-    ap_iou: float = 0.5, batch_to_device=None,
+    ap_iou: float = 0.5, batch_to_device=None, input_filter=None,
 ) -> Dict:
     """Detection-only evaluation (reference scripts/eval.py:176-244
     eval_detection): parse predictions + groundtruths per batch, compute
     VOC AP/AR. Works for no-caption (VoteNet-pretrain) checkpoints."""
+    from spacap3d_tpu.train.step import eval_input_batch
+    import jax as _jax
+    if input_filter is None:
+        input_filter = eval_input_batch
     post = dict(POST_DICT_DEFAULTS, dataset_config=dc)
     calc = APCalculator(ap_iou, dc.class2type)
     for batch in loader:
-        dev_batch = batch_to_device(batch) if batch_to_device else batch
+        dev_batch = input_filter(batch)
+        if batch_to_device:
+            dev_batch = batch_to_device(dev_batch)
         out = eval_step(params, state, dev_batch)
-        out = {k: np.asarray(v) for k, v in out.items()}
+        out = _jax.device_get(out)
         out["point_clouds"] = batch["point_clouds"]
         preds = parse_predictions_arrays(out, post)
         gts = parse_groundtruths_arrays(
@@ -278,6 +294,7 @@ def eval_cap(
     attn_dump_step=None,
     save_proposal: bool = False,
     dump_dir: Optional[str] = None,
+    input_filter=None,
 ):
     """Full caption (+ optional detection) evaluation pass."""
     if corpus_cache and os.path.exists(corpus_cache):
@@ -296,6 +313,7 @@ def eval_cap(
         min_iou=min_iou, also_detection=also_detection,
         batch_to_device=batch_to_device,
         attn_dump_step=attn_dump_step, save_proposal=save_proposal,
+        input_filter=input_filter,
     )
     if dump_dir and (intermediates or proposal_dump):
         import pickle

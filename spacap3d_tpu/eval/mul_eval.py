@@ -38,6 +38,9 @@ from spacap3d_tpu.eval.eval_helper import (
     organize_candidates,
     postprocess_batch,
 )
+from spacap3d_tpu.train.step import eval_input_batch
+
+import jax as _jax
 
 
 class GridLoader:
@@ -192,7 +195,9 @@ def mul_eval_grid(
 
     def consume(batch, out):
         _t0 = _time.perf_counter()
-        out = {k: np.asarray(v) for k, v in out.items()}  # blocks on device
+        # one batched host fetch (async copy of every leaf, then block) —
+        # per-leaf np.asarray costs a tunnel round-trip per output array
+        out = _jax.device_get(out)
         captions = out["lang_cap"]
         bsize = captions.shape[0]
         row_valid = batch["__valid__"].astype(bool)
@@ -203,6 +208,7 @@ def mul_eval_grid(
             out, batch, post, min_iou, with_detection=also_detection
         )
         good = ious > min_iou
+        keep = (nms_mask == 1) & good                     # (B, K)
         updates = []
         for b in range(bsize):
             if not row_valid[b]:
@@ -211,17 +217,16 @@ def mul_eval_grid(
             ds_idx = int(batch["dataset_idx"][b])
             scene_id = dataset.annotations[ds_idx]["scene_id"]
             caps = {}
-            for k in range(captions.shape[1]):
-                if nms_mask[b, k] == 1 and good[b, k]:
-                    object_id = str(int(det_ids[b, k]))
-                    try:
-                        ann_list = list(organized[scene_id][object_id].keys())
-                        object_name = organized[scene_id][object_id][
-                            ann_list[0]]["object_name"]
-                    except KeyError:
-                        continue
-                    key = f"{scene_id}|{object_id}|{object_name}"
-                    caps[key] = [vocab.decode(captions[b, k])]
+            for k in np.where(keep[b])[0]:
+                object_id = str(int(det_ids[b, k]))
+                try:
+                    ann_list = list(organized[scene_id][object_id].keys())
+                    object_name = organized[scene_id][object_id][
+                        ann_list[0]]["object_name"]
+                except KeyError:
+                    continue
+                key = f"{scene_id}|{object_id}|{object_name}"
+                caps[key] = [vocab.decode(captions[b, k])]
             updates.append((seed, caps, b))
         with lock:
             for seed, caps, b in updates:
@@ -240,7 +245,9 @@ def mul_eval_grid(
     futures = []
     with ThreadPoolExecutor(max_workers=4) as pool:
         for i, batch in enumerate(loader):
-            dev_batch = batch_to_device(batch) if batch_to_device else batch
+            dev_batch = eval_input_batch(batch)
+            if batch_to_device:
+                dev_batch = batch_to_device(dev_batch)
             out = eval_step(params, state, dev_batch)
             futures.append(pool.submit(consume, batch, out))
             # bound in-flight device batches / host backlog

@@ -135,6 +135,17 @@ def make_train_step(
     return step
 
 
+# The only batch keys the jitted eval forward reads. Callers filter their
+# host batch down to these before dispatch: a full dataset batch is ~40
+# numpy arrays, and each pytree leaf is a separate host->device transfer
+# (latency-dominated on a remote-attached TPU).
+EVAL_INPUT_KEYS = ("point_clouds", "center_label")
+
+
+def eval_input_batch(batch: Dict) -> Dict:
+    return {k: batch[k] for k in EVAL_INPUT_KEYS if k in batch}
+
+
 def make_eval_step(cfg: ModelConfig, mesh=None, with_caption_decode=True):
     """Eval forward (greedy decode when the model has a captioner) + the
     detection side-outputs the eval harness needs.

@@ -101,9 +101,11 @@ def test_padded_eval_cap_matches_divisible(setup):
     runs = []
     for bs in (3, 2):  # 3 divides; 2 pads the final batch with 1 duplicate
         dl = DataLoader(ds, batch_size=bs, shuffle=False, num_workers=1)
+        # identity input_filter: the stub derives its outputs from label
+        # keys the real (filtered) eval step does not consume
         metrics, candidates = eval_cap(
             _stub_eval_step, None, None, ds, dl, vocab, dc, anns,
-            min_iou=0.5, also_detection=True,
+            min_iou=0.5, also_detection=True, input_filter=lambda b: b,
         )
         runs.append((_scalar_metrics(metrics), candidates))
     (m_div, c_div), (m_pad, c_pad) = runs
@@ -116,6 +118,7 @@ def test_padded_eval_detection_matches_divisible(setup):
     runs = []
     for bs in (3, 2):
         dl = DataLoader(ds, batch_size=bs, shuffle=False, num_workers=1)
-        det = eval_detection(_stub_eval_step, None, None, dl, dc, ap_iou=0.5)
+        det = eval_detection(_stub_eval_step, None, None, dl, dc, ap_iou=0.5,
+                             input_filter=lambda b: b)
         runs.append({k: float(v) for k, v in det.items()})
     assert runs[0] == runs[1]
