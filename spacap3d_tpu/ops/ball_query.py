@@ -115,8 +115,32 @@ def _ball_query_chunk(centers, xyz, radius, nsample):
     return jnp.where(valid, sel, first_hit).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def ball_query(
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    radius: float,
+    nsample: int,
+    chunk: int = 2048,
+) -> jnp.ndarray:
+    """Dispatching entry point: (B, N, 3), (B, m, 3) -> (B, m, ns) int32.
+
+    On TPU, large point sets go through the Pallas kernel
+    (ball_query_pallas.py): all intermediates stay in VMEM, ~5x faster
+    than the XLA path at SA1 scale (40k points x 2048 centers). Small
+    problems (SA2-4) and other backends use the XLA implementation.
+    The two can disagree on points within ~1 ulp of the radius boundary
+    (different f32 summation order — the same class of divergence the
+    CUDA reference's direct (c-p)^2 form has against both).
+    """
+    if jax.default_backend() == "tpu" and xyz.shape[1] >= 8192:
+        from spacap3d_tpu.ops.ball_query_pallas import ball_query_pallas
+
+        return ball_query_pallas(xyz, new_xyz, radius, nsample)
+    return _ball_query_xla(xyz, new_xyz, radius, nsample, chunk)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _ball_query_xla(
     xyz: jnp.ndarray,
     new_xyz: jnp.ndarray,
     radius: float,

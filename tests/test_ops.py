@@ -185,3 +185,27 @@ def test_fps_pallas_interpret_matches_xla(rng):
         )
         want = np.asarray(ops.furthest_point_sample_xla(jnp.asarray(xyz), m))
         np.testing.assert_array_equal(got, want)
+
+
+def test_ball_query_pallas_interpret_matches_xla(rng):
+    """The Pallas ball-query kernel (interpret mode on CPU) must match the
+    XLA implementation exactly: first-k-in-order hits, repeat-first
+    padding, zero-on-miss, across unaligned N/m and center-block pads."""
+    from spacap3d_tpu.ops.ball_query import _ball_query_xla
+    from spacap3d_tpu.ops.ball_query_pallas import ball_query_pallas
+
+    for b, n, m, ns, radius in [
+        (2, 256, 64, 16, 0.3),
+        (1, 300, 50, 8, 0.5),    # unaligned N and m
+        (3, 512, 96, 64, 0.25),  # m % center-block != 0
+    ]:
+        xyz = (rng.rand(b, n, 3) * 2).astype(np.float32)
+        centers = xyz[:, :m] + (rng.rand(b, m, 3) * 0.05).astype(np.float32)
+        got = np.asarray(
+            ball_query_pallas(jnp.asarray(xyz), jnp.asarray(centers),
+                              radius, ns, True)
+        )
+        want = np.asarray(
+            _ball_query_xla(jnp.asarray(xyz), jnp.asarray(centers), radius, ns)
+        )
+        np.testing.assert_array_equal(got, want)
