@@ -64,8 +64,10 @@ def _cost_flops(compiled) -> float:
 
 
 def bench_eval(cfg, dc, params, state, batch_size=8, n_iters=10):
-    from spacap3d_tpu.models.spacap import apply_spacap
-    from spacap3d_tpu.train.losses import get_scene_cap_loss
+    """The PRODUCTION eval step (train/step.py make_eval_step): full
+    detector trunk + 256-way KV-cached greedy decode + the
+    objectness/assignment side-outputs the host harness consumes."""
+    from spacap3d_tpu.train.step import make_eval_step
 
     rng = np.random.RandomState(0)
     pts = rng.rand(batch_size, cfg.num_points, 3).astype(np.float32) * 6.0
@@ -74,47 +76,35 @@ def bench_eval(cfg, dc, params, state, batch_size=8, n_iters=10):
     point_clouds = jnp.asarray(np.concatenate([pts, height], -1))
     center_label = jnp.asarray(rng.rand(batch_size, 128, 3).astype(np.float32) * 6.0)
 
-    @jax.jit
-    def eval_forward(params, state, point_clouds, center_label):
-        batch = {
-            "point_clouds": point_clouds,
-            "center_label": center_label,
-            "heading_class_label": jnp.zeros((batch_size, 128), jnp.int32),
-        }
-        ep, _ = apply_spacap(
-            params, state, cfg, batch, is_eval=True, train=False, rng=None
-        )
-        # detection side-outputs for matching (shared forward, one pass)
-        ep = get_scene_cap_loss(
-            dict(ep, box_label_mask=jnp.ones((batch_size, 128)),
-                 box_label_mask_int=jnp.ones((batch_size, 128), jnp.int32),
-                 heading_residual_label=jnp.zeros((batch_size, 128)),
-                 size_class_label=jnp.zeros((batch_size, 128), jnp.int32),
-                 size_residual_label=jnp.zeros((batch_size, 128, 3)),
-                 sem_cls_label=jnp.zeros((batch_size, 128), jnp.int32),
-                 vote_label=jnp.zeros((batch_size, cfg.num_points, 9)),
-                 vote_label_mask=jnp.zeros((batch_size, cfg.num_points), jnp.int32),
-                 ),
-            params["mean_size_arr"], cfg.num_heading_bin, cfg.num_size_cluster,
-            detection=True, caption=False, use_relation=False,
-        )
-        return (ep["lang_cap"], ep["bbox_corner"], ep["objectness_scores"],
-                ep["sem_cls_scores"], ep["object_assignment"], ep["bbox_mask"])
+    step = make_eval_step(cfg)
 
-    lowered = eval_forward.lower(params, state, point_clouds, center_label)
+    def eval_forward(pc):
+        return step(params, state,
+                    {"point_clouds": pc, "center_label": center_label})
+
+    lowered = step.lower(params, state, {"point_clouds": point_clouds,
+                                         "center_label": center_label})
     compiled = lowered.compile()
     flops = _cost_flops(compiled)
 
-    out = eval_forward(params, state, point_clouds, center_label)
-    jax.block_until_ready(out)
+    # several varied-input warm-up executions: the first executions of a
+    # fresh program through the tunnel carry a one-time ~300 ms overhead
+    # beyond compilation that would otherwise pollute the timed window
+    for w in range(3):
+        out = eval_forward(point_clouds + jnp.float32(w) * 1e-4)
+        _ = np.asarray(out["lang_cap"][0, 0])
 
-    # vary inputs per iteration (rules out request-level caching) and keep
-    # every output alive until the single final block
+    # vary inputs per iteration (rules out request-level caching). Timing:
+    # dispatch every iter, then fetch a small slice of the LAST output —
+    # device execution is in-order, so the last completing implies all
+    # completed. (jax.block_until_ready can return early through the
+    # remote-attached-TPU tunnel, so it is NOT used for timing here.)
     variants = [point_clouds + jnp.float32(i) * 1e-3 for i in range(n_iters)]
-    jax.block_until_ready(variants)
+    for v in variants:
+        np.asarray(v[0, 0])
     t0 = time.perf_counter()
-    outs = [eval_forward(params, state, v, center_label) for v in variants]
-    jax.block_until_ready(outs)
+    outs = [eval_forward(v) for v in variants]
+    _ = np.asarray(outs[-1]["lang_cap"][0, :2])
     dt = time.perf_counter() - t0
     return batch_size * n_iters / dt, flops / (dt / n_iters)
 
@@ -141,18 +131,23 @@ def bench_train(cfg, dc, params, state, batch_size=8, n_iters=10):
     compiled = lowered.compile()
     flops = _cost_flops(compiled)
 
-    ts2, metrics = step(ts, batch, base_rng, 0.1)
-    jax.block_until_ready(metrics)
+    for w in range(3):
+        ts2, metrics = step(ts, batch, jax.random.fold_in(base_rng, 1000 + w),
+                            0.1)
+        loss0 = float(metrics["loss"])   # forces completion
 
     # independent dispatches from the same state (varied rng): measures
-    # step throughput without paying the tunnel round-trip per step
+    # step throughput without paying the tunnel round-trip per step.
+    # Completion forced by fetching the last step's loss (in-order queue),
+    # not block_until_ready (unreliable through the tunnel).
     rngs = [jax.random.fold_in(base_rng, i) for i in range(n_iters)]
-    jax.block_until_ready(rngs)
+    for r in rngs:
+        np.asarray(r)
     t0 = time.perf_counter()
     outs = [step(ts, batch, r, 0.1) for r in rngs]
-    jax.block_until_ready(outs)
+    _ = float(outs[-1][1]["loss"])
     dt = time.perf_counter() - t0
-    return batch_size * n_iters / dt, flops / (dt / n_iters), float(metrics["loss"])
+    return batch_size * n_iters / dt, flops / (dt / n_iters), loss0
 
 
 def bench_mul_eval_e2e(cfg, dc, num_scenes=141, num_seeds=2, batch_size=8):
@@ -256,7 +251,7 @@ def main():
     dev = jax.devices()[0]
     peak = _peak_flops(dev)
 
-    n_iters = 4 if smoke else 10
+    n_iters = 4 if smoke else 20
     eval_sps, eval_flops_per_sec = bench_eval(cfg, dc, params, state,
                                               n_iters=n_iters)
     train_sps, train_flops_per_sec, train_loss = bench_train(
