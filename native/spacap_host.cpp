@@ -150,6 +150,10 @@ void points_in_boxes(const float* pc /*n*3*/, int64_t n,
   // 40k) by ~5x; the scan re-tests x so bucket granularity is
   // correctness-neutral. Count is scan-order-independent (saturates at
   // cap), so results are identical to the naive loop.
+  if (n == 0) {
+    for (int64_t b = 0; b < k; ++b) counts[b] = 0;
+    return;
+  }
   constexpr int64_t NB = 256;
   float xmin = pc[0], xmax = pc[0];
   for (int64_t i = 1; i < n; ++i) {
@@ -197,6 +201,48 @@ void points_in_boxes(const float* pc /*n*3*/, int64_t n,
                     offs.data(), NB, xmin, inv, boxes, b0, b1, cap, counts);
   }
   for (auto& th : ts) th.join();
+}
+
+// Full greedy NMS: per-pick on-demand double-precision AABB IoU (same
+// formula and op order as the reference, utils/nms.py:71-150 — inter =
+// prod(max(min(hi_i,hi_j)-max(lo_i,lo_j),0)); o = inter/(a_i+a_j-inter
+// +eps)) instead of materializing the K x K overlap matrix. ``dims`` is
+// 2 (x1,y1/x2,y2 NMS) or 3. ``order`` is ascending by score; picks pop
+// from the end. ``cls`` is consulted only when use_cls != 0.
+int64_t greedy_nms(const double* lo /*n*dims*/, const double* hi,
+                   const double* cls, const int64_t* order,
+                   int64_t n, int64_t dims, double thresh, double union_eps,
+                   int64_t use_cls, int64_t* pick_out) {
+  std::vector<double> area(n);
+  for (int64_t i = 0; i < n; ++i) {
+    double a = 1.0;
+    for (int64_t d = 0; d < dims; ++d) a *= hi[i * dims + d] - lo[i * dims + d];
+    area[i] = a;
+  }
+  std::vector<uint8_t> alive(n, 1);
+  int64_t npick = 0;
+  for (int64_t p = n - 1; p >= 0; --p) {
+    if (!alive[p]) continue;
+    const int64_t i = order[p];
+    pick_out[npick++] = i;
+    for (int64_t q = 0; q < p; ++q) {
+      if (!alive[q]) continue;
+      const int64_t j = order[q];
+      double inter = 1.0;
+      for (int64_t d = 0; d < dims; ++d) {
+        const double l = std::max(lo[i * dims + d], lo[j * dims + d]);
+        const double h = std::min(hi[i * dims + d], hi[j * dims + d]);
+        inter *= std::max(h - l, 0.0);
+      }
+      double o = inter / (area[i] + area[j] - inter + union_eps);
+      // numpy keeps where (o * cls_eq) <= thresh: a NaN overlap (0/0 on
+      // degenerate boxes with eps=0) fails the <= and is suppressed —
+      // multiply (not branch) so NaN propagates identically
+      if (use_cls) o = o * (cls[i] == cls[j] ? 1.0 : 0.0);
+      if (!(o <= thresh)) alive[q] = 0;
+    }
+  }
+  return npick;
 }
 
 }  // extern "C"

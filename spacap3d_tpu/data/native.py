@@ -58,6 +58,9 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.percentile.argtypes = [f64p, c64, ctypes.c_double]
     lib.compute_votes.argtypes = [f64p, i64p, i64p, u8p, c64, f64p, f64p]
     lib.points_in_boxes.argtypes = [f32p, c64, f64p, c64, ctypes.c_int32, i32p]
+    lib.greedy_nms.restype = c64
+    lib.greedy_nms.argtypes = [f64p, f64p, f64p, i64p, c64, c64,
+                               ctypes.c_double, ctypes.c_double, c64, i64p]
     _lib = lib
     return lib
 
@@ -124,3 +127,22 @@ def points_in_boxes_native(pc, lo, hi, cap: int = 0):
     counts = np.empty(len(boxes), np.int32)
     lib.points_in_boxes(pc, len(pc), boxes, len(boxes), int(cap), counts)
     return counts
+
+
+def greedy_nms_native(lo, hi, cls, order, thresh, union_eps):
+    """Full greedy NMS in C++ (per-pick on-demand double IoU with the
+    reference's exact formula/op order — see spacap_host.cpp). Returns
+    pick indices in pick order, or None when the library is unavailable.
+    ``lo``/``hi``: (n, dims) float64; ``cls``: (n,) float64 or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    n, dims = lo.shape
+    order = np.ascontiguousarray(order, np.int64)
+    picks = np.empty(max(n, 1), np.int64)
+    cls_arg = (np.ascontiguousarray(cls, np.float64) if cls is not None
+               else np.zeros(0, np.float64))
+    npick = lib.greedy_nms(lo, hi, cls_arg, order, n, dims,
+                           float(thresh), float(union_eps),
+                           int(cls is not None), picks)
+    return picks[:npick]

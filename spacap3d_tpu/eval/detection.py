@@ -47,19 +47,30 @@ def box3d_iou_np(corners1: np.ndarray, corners2: np.ndarray) -> float:
 # -----------------------------------------------------------------------------
 
 def _greedy_nms(lo, hi, score, thresh, cls=None, union_eps=0.0):
-    # Precompute the full pairwise-overlap matrix in one vectorized pass
-    # (identical elementwise arithmetic to the reference's per-row
-    # computation, utils/nms.py:71-150), so the greedy loop below is a
-    # fancy-index per pick instead of O(K) numpy ops per pick — profiled
-    # ~10x faster at K=256 and the dominant cost of parse_predictions.
+    # float64 throughout — the reference's box arrays are np.zeros
+    # (float64) so its IoUs are double precision (utils/nms.py:71-150)
+    lo = np.ascontiguousarray(lo, np.float64)
+    hi = np.ascontiguousarray(hi, np.float64)
+    order = np.argsort(score)  # ascending; pop from the end
+    cls64 = None if cls is None else np.ascontiguousarray(cls, np.float64)
+
+    # the hot path is native: per-pick on-demand IoU in C++ with the
+    # reference's exact formula/op order (no K x K matrix, no ~200-python-
+    # iteration loop per scene)
+    from spacap3d_tpu.data.native import greedy_nms_native
+    picks = greedy_nms_native(lo, hi, cls64, order, thresh, union_eps)
+    if picks is not None:
+        return [int(i) for i in picks]
+
+    # numpy fallback: precompute the full pairwise-overlap matrix in one
+    # vectorized pass (same elementwise arithmetic), greedy loop over it
     area = np.prod(hi - lo, axis=-1)
     l = np.maximum(lo[:, None, :], lo[None, :, :])
     h = np.minimum(hi[:, None, :], hi[None, :, :])
     inter = np.prod(np.maximum(h - l, 0), axis=-1)
     o_mat = inter / (area[:, None] + area[None, :] - inter + union_eps)
-    if cls is not None:
-        o_mat = o_mat * (cls[:, None] == cls[None, :])
-    order = np.argsort(score)  # ascending; pop from the end
+    if cls64 is not None:
+        o_mat = o_mat * (cls64[:, None] == cls64[None, :])
     pick = []
     while order.size:
         i = int(order[-1])

@@ -133,6 +133,9 @@ def ball_query(
     CUDA reference's direct (c-p)^2 form has against both).
     """
     if jax.default_backend() == "tpu" and xyz.shape[1] >= 8192:
+        # SA1 scale only: for SA2-4 the XLA path fuses into the
+        # surrounding graph at the same cost (measured in-graph), so the
+        # smaller layers keep the zero-divergence implementation
         from spacap3d_tpu.ops.ball_query_pallas import ball_query_pallas
 
         return ball_query_pallas(xyz, new_xyz, radius, nsample)
