@@ -178,7 +178,10 @@ def feed_scene_cap(
                 continue
             ds_idx = int(batch["dataset_idx"][b])
             scene_id = dataset.annotations[ds_idx]["scene_id"]
-            any_valid = False
+            # several proposals map to the same object key; the LAST one
+            # wins (dict overwrite, reference lib/eval_helper.py:150-166)
+            # — resolve winners first, then decode once per key
+            final_k = {}
             for k in np.where(keep[b])[0]:
                 object_id = str(int(detected_object_ids[b, k]))
                 try:
@@ -188,8 +191,9 @@ def feed_scene_cap(
                     ]
                 except KeyError:
                     continue
-                any_valid = True
-                key = f"{scene_id}|{object_id}|{object_name}"
+                final_k[f"{scene_id}|{object_id}|{object_name}"] = k
+            any_valid = bool(final_k)
+            for key, k in final_k.items():
                 caption_decoded = vocab.decode(captions[b, k])
                 candidates[key] = [caption_decoded]
                 if attn_dump_step is not None:

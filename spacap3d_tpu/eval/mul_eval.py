@@ -216,7 +216,10 @@ def mul_eval_grid(
             seed = int(row_seed[b])
             ds_idx = int(batch["dataset_idx"][b])
             scene_id = dataset.annotations[ds_idx]["scene_id"]
-            caps = {}
+            # several proposals map to the same object key and the LAST
+            # one wins (dict overwrite, reference eval_helper.py:150-166)
+            # — resolve the winning proposal per key first, decode once
+            final_k = {}
             for k in np.where(keep[b])[0]:
                 object_id = str(int(det_ids[b, k]))
                 try:
@@ -225,8 +228,9 @@ def mul_eval_grid(
                         ann_list[0]]["object_name"]
                 except KeyError:
                     continue
-                key = f"{scene_id}|{object_id}|{object_name}"
-                caps[key] = [vocab.decode(captions[b, k])]
+                final_k[f"{scene_id}|{object_id}|{object_name}"] = k
+            caps = {key: [vocab.decode(captions[b, k])]
+                    for key, k in final_k.items()}
             updates.append((seed, caps, b))
         with lock:
             for seed, caps, b in updates:
