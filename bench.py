@@ -230,6 +230,9 @@ def bench_mul_eval_e2e(cfg, dc, num_scenes=141, num_seeds=2, batch_size=8):
 def main():
     import os
 
+    from spacap3d_tpu.utils.logging import enable_compilation_cache
+    enable_compilation_cache()
+
     from spacap3d_tpu.config import ModelConfig
     from spacap3d_tpu.data.scannet_config import ScannetDatasetConfig
     from spacap3d_tpu.models import init_spacap

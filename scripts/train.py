@@ -151,6 +151,9 @@ def main(argv=None):
     args = parse_args(argv)
 
     import jax
+
+    from spacap3d_tpu.utils.logging import enable_compilation_cache
+    enable_compilation_cache()
     import numpy as np
 
     from spacap3d_tpu.data.dataset import ScanReferDataset, SceneStore

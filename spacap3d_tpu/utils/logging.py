@@ -67,3 +67,29 @@ class RunLogger:
         for w in self._tb.values():
             w.close()
         self._fout.close()
+
+
+def enable_compilation_cache(path: str = None):
+    """Persistent XLA compilation cache across processes.
+
+    A fresh jit of the flagship eval/train program costs ~45 s to minutes
+    on a remote-attached TPU; caching compiled executables on disk makes
+    every CLI invocation after the first start instantly. Set
+    ``SPACAP_COMPILATION_CACHE`` to override the location, or to the
+    empty string to disable. Safe to call multiple times."""
+    import os
+
+    import jax
+
+    env = os.environ.get("SPACAP_COMPILATION_CACHE")
+    if env == "":
+        return
+    path = env or path or os.path.join(
+        os.path.expanduser("~"), ".cache", "spacap3d_tpu", "jax"
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax or read-only fs: compilation just stays in-memory
