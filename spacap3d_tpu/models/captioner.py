@@ -564,7 +564,8 @@ def captioner_eval(
 
     max_len = cfg.max_des_len
     n_steps = max_len + 1            # 31 greedy steps (:435)
-    lmax = n_steps + (1 if cfg.early_guide else 0) + 1
+    offset_len = 1 if cfg.early_guide else 0
+    lmax = n_steps + offset_len + 1
     h = cfg.num_heads
     dk = cfg.d_model // h
     n_layers = cfg.num_layers
@@ -579,8 +580,26 @@ def captioner_eval(
     gen = _cast_tree(model["generator"]["proj"], dd)
     pe = sinusoid_pe(cfg.max_des_len + 4, cfg.d_model).astype(dd)
 
+    # Staged (bucketed) KV caches: the decode is bound by re-reading the
+    # caches every step, but step i only attends to positions <= i+offset
+    # — running the scan in stages whose cache length grows with the
+    # position cuts total cache traffic ~1.6x. Masked padding slots hold
+    # exact zeros, so attention over a shorter cache computes the same
+    # valid-score softmax. Stage boundaries pad the caches (a one-time
+    # copy, ~0.3 ms total at flagship scale).
+    n_stages = max(1, int(getattr(cfg, "eval_decode_stages", 4)))
+    n_stages = min(n_stages, n_steps)
+    bounds = [round(n_steps * (s + 1) / n_stages) for s in range(n_stages)]
+    stages = []  # (start_step, num_steps, cache_len)
+    start = 0
+    for s, end in enumerate(bounds):
+        size = lmax if s == n_stages - 1 else end + offset_len + 1
+        stages.append((start, end - start, size))
+        start = end
+
     caches = [
-        (jnp.zeros((r, h, lmax, dk), dd), jnp.zeros((r, h, lmax, dk), dd))
+        (jnp.zeros((r, h, stages[0][2], dk), dd),
+         jnp.zeros((r, h, stages[0][2], dk), dd))
         for _ in range(n_layers)
     ]
 
@@ -622,11 +641,23 @@ def captioner_eval(
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return (nxt, flatten(new_caches)), nxt
 
-    init_token = jnp.full((r,), SOS_ID, jnp.int32)
-    (_, _), tokens = lax.scan(
-        step, (init_token, flatten(caches)),
-        jnp.arange(n_steps, dtype=jnp.int32),
-    )
+    token = jnp.full((r,), SOS_ID, jnp.int32)
+    stage_tokens = []
+    for s, (s0, s_steps, size) in enumerate(stages):
+        if s:
+            grow = size - stages[s - 1][2]
+            caches = [
+                (jnp.pad(kc, ((0, 0), (0, 0), (0, grow), (0, 0))),
+                 jnp.pad(vc, ((0, 0), (0, 0), (0, grow), (0, 0))))
+                for kc, vc in caches
+            ]
+        (token, flat), toks = lax.scan(
+            step, (token, flatten(caches)),
+            jnp.arange(s0, s0 + s_steps, dtype=jnp.int32),
+        )
+        caches = unflatten(flat)
+        stage_tokens.append(toks)
+    tokens = jnp.concatenate(stage_tokens, axis=0)
     # tokens: (n_steps, R) -> (B, K, n_steps)
     out_tokens = tokens.T.reshape(b, k, n_steps)
 
