@@ -37,8 +37,13 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch: dict, axis_name: str = "data") -> dict:
     """Place a host batch dict onto the mesh, sharded along the batch dim.
-    Arrays whose leading dim does not divide the mesh (e.g. a short final
-    validation batch) are replicated instead."""
+
+    The loaders (DataLoader / GridLoader) pad every batch to the full
+    static batch size and mark wrapped rows ``__valid__=False``, so with
+    ``batch_size % n_devices == 0`` every array here shards evenly. The
+    replication branch below is a graceful fallback for mis-sized
+    configs (each device then redundantly computes the whole batch) —
+    pick a divisible batch size for real multi-chip runs."""
     n = mesh.shape[axis_name]
 
     def put(x):
