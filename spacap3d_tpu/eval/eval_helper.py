@@ -66,6 +66,26 @@ def organize_candidates(corpus: Dict, candidates: Dict) -> Dict:
     return {key: candidates[key] for key in corpus}
 
 
+def resolve_winning_proposals(keep_row, det_ids_row, organized, scene_id):
+    """{scene|obj|name key -> winning proposal index} for one scene row.
+
+    Several NMS-surviving proposals can map to the same object key; the
+    LAST one in proposal order wins the dict write (reference
+    lib/eval_helper.py:150-166), so only that one needs decoding.
+    Detected ids without a corpus entry are skipped."""
+    final_k = {}
+    for k in np.where(keep_row)[0]:
+        object_id = str(int(det_ids_row[k]))
+        try:
+            ann_list = list(organized[scene_id][object_id].keys())
+            object_name = organized[scene_id][object_id][ann_list[0]][
+                "object_name"]
+        except KeyError:
+            continue
+        final_k[f"{scene_id}|{object_id}|{object_name}"] = int(k)
+    return final_k
+
+
 POST_DICT_DEFAULTS = dict(
     remove_empty_box=True, use_3d_nms=True, nms_iou=0.25,
     use_old_type_nms=False, cls_nms=True, per_class_proposal=True,
@@ -178,20 +198,9 @@ def feed_scene_cap(
                 continue
             ds_idx = int(batch["dataset_idx"][b])
             scene_id = dataset.annotations[ds_idx]["scene_id"]
-            # several proposals map to the same object key; the LAST one
-            # wins (dict overwrite, reference lib/eval_helper.py:150-166)
-            # — resolve winners first, then decode once per key
-            final_k = {}
-            for k in np.where(keep[b])[0]:
-                object_id = str(int(detected_object_ids[b, k]))
-                try:
-                    ann_list = list(organized[scene_id][object_id].keys())
-                    object_name = organized[scene_id][object_id][ann_list[0]][
-                        "object_name"
-                    ]
-                except KeyError:
-                    continue
-                final_k[f"{scene_id}|{object_id}|{object_name}"] = k
+            final_k = resolve_winning_proposals(
+                keep[b], detected_object_ids[b], organized, scene_id
+            )
             any_valid = bool(final_k)
             for key, k in final_k.items():
                 caption_decoded = vocab.decode(captions[b, k])

@@ -37,6 +37,7 @@ from spacap3d_tpu.eval.eval_helper import (
     check_candidates,
     organize_candidates,
     postprocess_batch,
+    resolve_winning_proposals,
 )
 from spacap3d_tpu.train.step import eval_input_batch
 
@@ -216,19 +217,9 @@ def mul_eval_grid(
             seed = int(row_seed[b])
             ds_idx = int(batch["dataset_idx"][b])
             scene_id = dataset.annotations[ds_idx]["scene_id"]
-            # several proposals map to the same object key and the LAST
-            # one wins (dict overwrite, reference eval_helper.py:150-166)
-            # — resolve the winning proposal per key first, decode once
-            final_k = {}
-            for k in np.where(keep[b])[0]:
-                object_id = str(int(det_ids[b, k]))
-                try:
-                    ann_list = list(organized[scene_id][object_id].keys())
-                    object_name = organized[scene_id][object_id][
-                        ann_list[0]]["object_name"]
-                except KeyError:
-                    continue
-                final_k[f"{scene_id}|{object_id}|{object_name}"] = k
+            final_k = resolve_winning_proposals(
+                keep[b], det_ids[b], organized, scene_id
+            )
             caps = {key: [vocab.decode(captions[b, k])]
                     for key, k in final_k.items()}
             updates.append((seed, caps, b))

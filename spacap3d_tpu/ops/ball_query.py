@@ -132,10 +132,21 @@ def ball_query(
     (different f32 summation order — the same class of divergence the
     CUDA reference's direct (c-p)^2 form has against both).
     """
-    if jax.default_backend() == "tpu" and xyz.shape[1] >= 8192:
+    import os
+
+    impl = os.environ.get("SPACAP_BALL_QUERY_IMPL", "auto")
+    use_pallas = (
+        impl == "pallas"
+        or (impl == "auto"
+            and jax.default_backend() == "tpu" and xyz.shape[1] >= 8192)
+    )
+    if use_pallas:
         # SA1 scale only: for SA2-4 the XLA path fuses into the
         # surrounding graph at the same cost (measured in-graph), so the
-        # smaller layers keep the zero-divergence implementation
+        # smaller layers keep the zero-divergence implementation.
+        # SPACAP_BALL_QUERY_IMPL=xla forces the oracle path (e.g. when
+        # pinning a trace to CPU on a TPU host, where default_backend()
+        # still reports "tpu").
         from spacap3d_tpu.ops.ball_query_pallas import ball_query_pallas
 
         return ball_query_pallas(xyz, new_xyz, radius, nsample)

@@ -11,20 +11,22 @@ hit mask alone is ~160 MB/scene written + re-read, plus the slot-onehot
 tensors) — ~5x off the HBM floor at SA1 scale. This kernel processes a
 block of centers per grid step and keeps every intermediate in VMEM:
 
-  * one MXU matmul produces squared distances for the whole block:
-    d2 = [cx, cy, cz, |c|^2, 1] . [-2x, -2y, -2z, 1, |p|^2]
-    (inputs are pre-augmented to 8 rows on the host side);
+  * one MXU matmul (precision HIGHEST) produces the cross term c.p for
+    the whole center block from 8-row augmented inputs, and the VPU
+    assembles d2 = (|c|^2 + |p|^2) - 2*(c.p) with the same operand and
+    op order as the XLA path;
   * hit mask, per-128-lane-tile totals, cross-tile inclusive prefix
     (triangular matmul — integer counts are exact with bf16 operands and
     f32 accumulation), slot->tile selection, per-slot tile gather
     (one-hot batched matmul) and within-tile ranking all stay on-chip;
   * output is just the (C, nsample) int32 index block.
 
-Numerics note: the single-matmul d2 sums its five products in contraction
-order, while the XLA path computes (|c|^2 + |p|^2) - 2*(c.p); both are
-f32 (HIGHEST) and can disagree in the last ulp for points exactly on the
-radius boundary — the same measure-zero caveat as the CUDA reference's
-direct (c-p)^2 form.
+Numerics note: Mosaic's HIGHEST f32 matmul and XLA's einsum lowering can
+still disagree in the last ulp for points exactly on the radius boundary
+(~1e-5 of neighbor slots on uniform random clouds) — the same
+measure-zero caveat the CUDA reference's direct (c-p)^2 form has against
+either. Interpret-mode tests (shared XLA-CPU arithmetic) assert exact
+index equality vs the XLA oracle.
 """
 from __future__ import annotations
 

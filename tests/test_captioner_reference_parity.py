@@ -101,6 +101,7 @@ def _convert(ref, variant):
         early_guide=variant["early"], check_relation=variant["rel"],
         max_des_len=MAXLEN,
         eval_decode_dtype="float32",  # bit-parity vs the f32 torch reference
+        eval_decode_stages=1,         # pin the single-stage oracle decode
     )
     params, state = init_captioner(jax.random.PRNGKey(0), cfg)
     sd = {f"caption.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}

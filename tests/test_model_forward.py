@@ -91,11 +91,13 @@ def test_bf16_decode_tokens_match_f32(rng):
     """The bf16 decode loop (default) must produce the same greedy tokens
     as the f32 path: matmuls accumulate in f32 and the argmax runs on f32
     logits, so only exact ties could flip (measure-zero at random init)."""
-    cfg32 = dataclasses.replace(TINY, eval_decode_dtype="float32")
+    cfg32 = dataclasses.replace(TINY, eval_decode_dtype="float32",
+                                eval_decode_stages=1)
     params, state = init_spacap(jax.random.PRNGKey(4), cfg32, _mean_sizes(cfg32))
     batch = tiny_batch(rng, cfg32)
     ep32, _ = make_forward(cfg32, is_eval=True, train=False)(params, state, batch)
-    cfg16 = dataclasses.replace(TINY, eval_decode_dtype="bfloat16")
+    cfg16 = dataclasses.replace(TINY, eval_decode_dtype="bfloat16",
+                                eval_decode_stages=1)
     ep16, _ = make_forward(cfg16, is_eval=True, train=False)(params, state, batch)
     np.testing.assert_array_equal(
         np.asarray(ep16["lang_cap"]), np.asarray(ep32["lang_cap"])
@@ -106,7 +108,8 @@ def test_eval_decode_matches_full_recompute(rng):
     """KV-cached scan decode must equal the reference's full-recompute loop
     (compared in f32; the bf16-vs-f32 agreement is tested separately)."""
     cfg = dataclasses.replace(TINY, check_relation=False,
-                              eval_decode_dtype="float32")
+                              eval_decode_dtype="float32",
+                              eval_decode_stages=1)
     params, state = init_spacap(jax.random.PRNGKey(0), cfg, _mean_sizes(cfg))
     batch = tiny_batch(rng, cfg)
     ep_eval, _ = make_forward(cfg, is_eval=True, train=False)(params, state, batch)
@@ -156,3 +159,22 @@ def test_forward_no_features(rng):
         params, state, batch, jax.random.PRNGKey(1)
     )
     assert np.isfinite(np.asarray(ep["lang_cap"])).all()
+
+
+def test_staged_decode_matches_single_stage(rng):
+    """The staged-KV-cache decode (eval_decode_stages>1) computes the same
+    valid-score softmax per step; on this fixed tiny config the greedy
+    tokens match the single-stage scan exactly (near-tie argmax flips are
+    possible in principle — README's numerics table — but deterministic
+    per platform/config, so this acts as a regression pin)."""
+    cfg1 = dataclasses.replace(TINY, eval_decode_dtype="float32",
+                               eval_decode_stages=1)
+    params, state = init_spacap(jax.random.PRNGKey(4), cfg1, _mean_sizes(cfg1))
+    batch = tiny_batch(rng, cfg1)
+    ep1, _ = make_forward(cfg1, is_eval=True, train=False)(params, state, batch)
+    cfg4 = dataclasses.replace(TINY, eval_decode_dtype="float32",
+                               eval_decode_stages=4)
+    ep4, _ = make_forward(cfg4, is_eval=True, train=False)(params, state, batch)
+    np.testing.assert_array_equal(
+        np.asarray(ep4["lang_cap"]), np.asarray(ep1["lang_cap"])
+    )

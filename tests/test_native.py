@@ -49,3 +49,38 @@ def test_points_in_boxes(rng):
         (((pc >= l) & (pc <= h)).all(-1)).sum() for l, h in zip(lo, hi)
     ]
     np.testing.assert_array_equal(counts, want)
+
+
+def test_native_greedy_nms_matches_numpy():
+    """The C++ greedy NMS (the primary path in detection._greedy_nms) must
+    make identical decisions to the numpy matrix fallback across random
+    dense box sets, class-blind and class-aware, with and without the
+    union epsilon."""
+    import spacap3d_tpu.eval.detection as det
+    from spacap3d_tpu.data import native as dn
+
+    if dn._load() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+
+    orig = dn.greedy_nms_native
+    r = np.random.RandomState(0)
+    try:
+        for trial in range(25):
+            k = r.randint(3, 260)
+            centers = r.rand(k, 3) * 3
+            sizes = 0.3 + r.rand(k, 3) * 2
+            lo = (centers - sizes / 2).astype(np.float32)
+            hi = (centers + sizes / 2).astype(np.float32)
+            score = r.rand(k).astype(np.float32)
+            cls = r.randint(0, 4, k).astype(np.float64)
+            for use_cls, eps in ((None, 0.0), (cls, 1e-8)):
+                a = det._greedy_nms(lo, hi, score, 0.25, cls=use_cls,
+                                    union_eps=eps)
+                dn.greedy_nms_native = lambda *args: None  # force numpy
+                b = det._greedy_nms(lo, hi, score, 0.25, cls=use_cls,
+                                    union_eps=eps)
+                dn.greedy_nms_native = orig
+                assert a == b, (trial, use_cls is not None)
+    finally:
+        dn.greedy_nms_native = orig
