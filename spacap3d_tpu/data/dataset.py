@@ -168,19 +168,27 @@ class ScanReferDataset:
         # the reference (lib/dataset.py:101-116) — its model never consumes
         # them (SURVEY.md §2.2); ours doesn't either.
         self.glove = glove
+        # Per-index eval cache (see getitem_cached): idx -> (full float64
+        # cloud, item template). Guarded by _cache_lock for the threaded
+        # grid loader.
+        import threading
+        self._eval_cache: Dict[int, tuple] = {}
+        self._eval_cache_bytes = 0
+        self._eval_cache_limit = int(
+            os.environ.get("SPACAP_EVAL_CACHE_BYTES", 8 << 30)
+        )
+        self._cache_lock = threading.Lock()
 
     def __len__(self):
         return len(self.annotations)
 
     # ------------------------------------------------------------------
-    def __getitem__(self, idx: int, rng: Optional[np.random.RandomState] = None):
-        if rng is None:
-            rng = np.random.RandomState()
-        ann = self.annotations[idx]
-        scene = self.scenes[ann["scene_id"]]
-        object_id = int(ann["object_id"])
-        cfg, dc = self.cfg, self.dc
-
+    def _assemble_full_cloud(self, scene: Scene) -> np.ndarray:
+        """Full-resolution feature assembly (pre-subsample): xyz [+color]
+        [+normal] [+multiview] [+height], returned in the exact contiguous
+        float64 form the row gather consumes — so a cached copy yields
+        bit-identical subsampled items."""
+        cfg = self.cfg
         mesh = scene.mesh_vertices
         feats = [mesh[:, 0:3]]
         if cfg.use_color:
@@ -198,17 +206,69 @@ class ScanReferDataset:
             point_cloud = np.concatenate(
                 [point_cloud, (point_cloud[:, 2] - floor)[:, None]], axis=1
             )
+        return np.ascontiguousarray(point_cloud, np.float64)
 
+    def getitem_cached(self, idx: int, rng: np.random.RandomState):
+        """Fast eval-path item build: everything except the random point
+        subsample is deterministic per index on non-augmented val items
+        (the RNG's only consumer is ``random_sampling``), so the assembled
+        full cloud + all label/language tensors are cached on first touch
+        and each later (seed, idx) row costs only choice + row-gather.
+        This is what makes the 100-seed mul_eval grid cheap: the reference
+        rebuilds the whole item per seed (scripts/eval.py:456-460 reseeds,
+        lib/dataset.py:291-531 recomputes). Bit-identical to
+        ``__getitem__`` (pinned by tests/test_mul_eval.py)."""
+        assert not self.cfg.augment and self.split != "train", (
+            "getitem_cached requires a deterministic (no-augment, non-train)"
+            " item; use __getitem__"
+        )
+        cache = self._eval_cache.get(idx)
+        if cache is None:
+            with self._cache_lock:
+                cache = self._eval_cache.get(idx)
+                if cache is None:
+                    full_pc = self._assemble_full_cloud(
+                        self.scenes[self.annotations[idx]["scene_id"]]
+                    )
+                    # template: a full item build; its point_clouds (the
+                    # only RNG-dependent leaf) is discarded
+                    template = self.__getitem__(idx, rng=np.random.RandomState(0))
+                    template.pop("point_clouds")
+                    nbytes = full_pc.nbytes + sum(
+                        v.nbytes for v in template.values()
+                        if isinstance(v, np.ndarray)
+                    )
+                    if self._eval_cache_bytes + nbytes <= self._eval_cache_limit:
+                        self._eval_cache[idx] = (full_pc, template)
+                        self._eval_cache_bytes += nbytes
+                    cache = (full_pc, template)
+        full_pc, template = cache
+        choices = random_sampling(full_pc.shape[0], self.cfg.num_points, rng)
+        item = dict(template)
+        item["point_clouds"] = native.gather_rows(full_pc, choices).astype(
+            np.float32
+        )
+        return item
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.RandomState] = None):
+        if rng is None:
+            rng = np.random.RandomState()
+        ann = self.annotations[idx]
+        scene = self.scenes[ann["scene_id"]]
+        object_id = int(ann["object_id"])
+        cfg, dc = self.cfg, self.dc
+
+        point_cloud = self._assemble_full_cloud(scene)
         choices = random_sampling(point_cloud.shape[0], cfg.num_points, rng)
-        point_cloud = native.gather_rows(
-            np.ascontiguousarray(point_cloud, np.float64), choices
-        )
-        instance_labels = native.gather_rows(
-            np.ascontiguousarray(scene.instance_labels, np.int64), choices
-        )
-        semantic_labels = native.gather_rows(
-            np.ascontiguousarray(scene.semantic_labels, np.int64), choices
-        )
+        point_cloud = native.gather_rows(point_cloud, choices)
+        if self.split == "train":
+            # only the (train-only) vote computation consumes these
+            instance_labels = native.gather_rows(
+                np.ascontiguousarray(scene.instance_labels, np.int64), choices
+            )
+            semantic_labels = native.gather_rows(
+                np.ascontiguousarray(scene.semantic_labels, np.int64), choices
+            )
 
         bboxes = scene.instance_bboxes
         num_bbox = min(bboxes.shape[0], MAX_NUM_OBJ)

@@ -82,6 +82,14 @@ class GridLoader:
         batches = grid.reshape(-1, self.batch_size, 2)
         valid = valid.reshape(-1, self.batch_size)
 
+        # the cached fast path (per-scene features built once, only the
+        # point subsample per seed) is bit-identical to __getitem__ for
+        # non-augmented val items — pinned by the grid-vs-serial test
+        getter = getattr(self.dataset, "getitem_cached", None)
+        if getter is None or getattr(self.dataset.cfg, "augment", False) \
+                or getattr(self.dataset, "split", "val") == "train":
+            getter = self.dataset.__getitem__
+
         def build_item(pair):
             seed, idx = int(pair[0]), int(pair[1])
             # same key schedule as DataLoader (epoch 0) so grid-mode rows
@@ -89,7 +97,7 @@ class GridLoader:
             rng = np.random.RandomState(
                 (seed * 2654435761 + idx) % (2 ** 31)
             )
-            return self.dataset.__getitem__(idx, rng=rng)
+            return getter(idx, rng=rng)
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -236,34 +244,38 @@ def mul_eval_grid(
     # software pipeline: host post-processing of finished batches overlaps
     # the device compute of in-flight ones (jax dispatch is async;
     # np.asarray inside consume blocks on that batch only)
-    _stream_t0 = _time.perf_counter()
-    futures = []
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        for i, batch in enumerate(loader):
-            dev_batch = eval_input_batch(batch)
-            if batch_to_device:
-                dev_batch = batch_to_device(dev_batch)
-            out = eval_step(params, state, dev_batch)
-            futures.append(pool.submit(consume, batch, out))
-            # bound in-flight device batches / host backlog
-            while len([f for f in futures if not f.done()]) > 8:
-                futures[0].result()
-                futures = [f for f in futures if not f.done()]
-            if progress is not None:
-                progress(i + 1, len(loader))
-        for f in futures:
-            f.result()
-    _stream_s = _time.perf_counter() - _stream_t0
+    try:
+        _stream_t0 = _time.perf_counter()
+        futures = []
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            for i, batch in enumerate(loader):
+                dev_batch = eval_input_batch(batch)
+                if batch_to_device:
+                    dev_batch = batch_to_device(dev_batch)
+                out = eval_step(params, state, dev_batch)
+                futures.append(pool.submit(consume, batch, out))
+                # bound in-flight device batches / host backlog
+                while len([f for f in futures if not f.done()]) > 8:
+                    futures[0].result()
+                    futures = [f for f in futures if not f.done()]
+                if progress is not None:
+                    progress(i + 1, len(loader))
+            for f in futures:
+                f.result()
+        _stream_s = _time.perf_counter() - _stream_t0
 
-    # any seed that never reached its full row count (only possible if the
-    # dataset is empty) plus the tail of in-flight scoring futures
-    _score_t0 = _time.perf_counter()
-    with lock:
-        for s in seeds:
-            if s not in score_futures:
-                _submit_seed(s)
-    scored = [score_futures[s].result() for s in seeds]
-    score_pool.shutdown()
+        # any seed that never reached its full row count (only possible if
+        # the dataset is empty) plus the tail of in-flight scoring futures
+        _score_t0 = _time.perf_counter()
+        with lock:
+            for s in seeds:
+                if s not in score_futures:
+                    _submit_seed(s)
+        scored = [score_futures[s].result() for s in seeds]
+    finally:
+        # no-op on the success path (all futures already resolved); on an
+        # exception mid-stream this stops the pool instead of leaking it
+        score_pool.shutdown(wait=False)
     if timing_out is not None:
         timing_out.update(stream_s=_stream_s, consume_s=consume_s[0],
                           score_s=_time.perf_counter() - _score_t0)

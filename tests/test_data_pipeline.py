@@ -147,3 +147,33 @@ def test_host_corner_signs_match_ops():
     from spacap3d_tpu.ops.boxes import _CORNER_SIGNS
 
     np.testing.assert_array_equal(_CORNER_SIGNS_NP, np.asarray(_CORNER_SIGNS))
+
+
+def test_getitem_cached_bit_identical(synth):
+    """The mul_eval fast path (per-scene features cached, only the point
+    subsample per seed) must be bit-identical to a fresh __getitem__ for
+    the same RNG state on non-augmented val items."""
+    root, anns, scene_ids = synth
+    cfg = DataConfig(data_root=root, num_points=2000, augment=False,
+                     use_relation=False)
+    dc = ScannetDatasetConfig()
+    scenes = SceneStore(cfg.scannet_data, scene_ids, load_relations=False)
+    vocab = Vocabulary.build(anns)
+    ds = ScanReferDataset(anns, scenes, vocab, dc, cfg, split="val")
+
+    for seed in (0, 7):
+        for idx in (0, len(ds) - 1):
+            want = ds.__getitem__(idx, rng=np.random.RandomState(seed))
+            got = ds.getitem_cached(idx, rng=np.random.RandomState(seed))
+            assert set(got) == set(want)
+            for k in want:
+                np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+    # second pass hits the warm cache
+    want = ds.__getitem__(0, rng=np.random.RandomState(3))
+    got = ds.getitem_cached(0, rng=np.random.RandomState(3))
+    np.testing.assert_array_equal(got["point_clouds"], want["point_clouds"])
+
+    # train/augment configurations must refuse the cached path
+    ds_train = make_dataset(root, anns, scene_ids)
+    with pytest.raises(AssertionError):
+        ds_train.getitem_cached(0, rng=np.random.RandomState(0))
