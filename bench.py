@@ -153,10 +153,15 @@ def bench_train(cfg, dc, params, state, batch_size=8, n_iters=10):
     return batch_size * n_iters / dt, flops / (dt / n_iters), loss0
 
 
-def bench_mul_eval_e2e(cfg, dc, num_scenes=141, num_seeds=2, batch_size=8):
+def bench_mul_eval_e2e(cfg, dc, num_scenes=141, num_seeds=4, batch_size=8):
     """End-to-end grid mul_eval on a synthetic val split: includes host
     preprocessing, sharded device forward, NMS/IoU matching, caption
-    decode and per-seed capeval scoring."""
+    decode and per-seed capeval scoring.
+
+    num_seeds=4 (vs the protocol's 100) keeps the bench short while
+    still amortizing the one-time per-scene feature cache the way a real
+    run does; the reported rows/s is therefore conservative vs a full
+    100-seed run (whose first-seed build cost is 1% instead of 25%)."""
     import dataclasses
 
     from spacap3d_tpu.config import DataConfig

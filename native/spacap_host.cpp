@@ -235,9 +235,13 @@ int64_t greedy_nms(const double* lo /*n*dims*/, const double* hi,
         inter *= std::max(h - l, 0.0);
       }
       double o = inter / (area[i] + area[j] - inter + union_eps);
-      // numpy keeps where (o * cls_eq) <= thresh: a NaN overlap (0/0 on
-      // degenerate boxes with eps=0) fails the <= and is suppressed —
-      // multiply (not branch) so NaN propagates identically
+      // Matches THIS REPO's numpy fallback (eval/detection.py), which
+      // keeps where (o * cls_eq) <= thresh: a NaN overlap (0/0 on
+      // degenerate zero-volume boxes at eps=0) fails the <= and is
+      // SUPPRESSED. Note this inverts the upstream utils/nms.py
+      // semantics (np.delete on o>thresh KEEPS NaN, since NaN>t is
+      // false) — reachable only for degenerate boxes with union_eps=0;
+      // multiply (not branch) so NaN propagates identically to numpy.
       if (use_cls) o = o * (cls[i] == cls[j] ? 1.0 : 0.0);
       if (!(o <= thresh)) alive[q] = 0;
     }

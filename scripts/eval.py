@@ -48,6 +48,15 @@ def parse_args(argv=None):
     p.add_argument("--save_proposal", action="store_true")
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--checkpoint", type=str, default="model.ckpt")
+    p.add_argument("--use_train", action="store_true",
+                   help="evaluate on the train split (reference eval.py:405)")
+    p.add_argument("--eval_visualize", action="store_true",
+                   help="dump vis/{scene}/ scene ply + predicted bbox "
+                        "meshes + predictions.json (reference eval.py:247)")
+    p.add_argument("--verbose", action="store_true",
+                   help="eval_visualize: print path info")
+    p.add_argument("--nodryrun", action="store_true",
+                   help="eval_visualize: actually write files")
     return p.parse_args(argv)
 
 
@@ -76,10 +85,14 @@ def main(argv=None):
     model_cfg = run_cfg.model
     dc = ScannetDatasetConfig()
 
+    # --use_train evaluates on the train split (reference eval.py:405)
+    phase = "train" if args.use_train else "val"
     if args.dataset == "ScanRefer":
-        val_anns = json.load(open(os.path.join(args.data_root, "ScanRefer_filtered_val.json")))
+        val_anns = json.load(open(os.path.join(
+            args.data_root, f"ScanRefer_filtered_{phase}.json")))
     else:
-        val_anns = json.load(open(os.path.join(args.data_root, "nr3d_val.json")))
+        val_anns = json.load(open(os.path.join(
+            args.data_root, f"nr3d_{phase}.json")))
     val_scenes = sorted({a["scene_id"] for a in val_anns})
     eval_list = []
     for sid in val_scenes:  # one forward per scene (reference eval.py:97-117)
@@ -119,6 +132,25 @@ def main(argv=None):
         from spacap3d_tpu.train.step import make_attn_dump_step
         attn_dump_step = make_attn_dump_step(model_cfg)
 
+    if args.eval_visualize:
+        from spacap3d_tpu.eval.eval_helper import (
+            eval_visualize,
+            organize_annotations,
+        )
+        loader = DataLoader(ds, min(args.batch_size, len(ds)), shuffle=False,
+                            seed=args.seed, num_workers=args.num_workers)
+        scans_dir = os.path.join(args.data_root, "scannet", "scans")
+        eval_visualize(
+            eval_step, params, state, ds, loader, vocab,
+            organize_annotations(val_anns), dc, root,
+            scans_dir=scans_dir if os.path.isdir(scans_dir) else None,
+            min_iou=args.min_iou, batch_to_device=to_dev,
+            verbose=args.verbose, nodryrun=args.nodryrun,
+        )
+        print(f"visualization dumps under {os.path.join(root, 'vis')}"
+              + ("" if args.nodryrun else " (dry run: pass --nodryrun to write)"))
+        return
+
     seeds = range(args.num_seeds) if args.mul_eval else [args.seed]
     rows = []
     if grid_mode:
@@ -130,7 +162,7 @@ def main(argv=None):
         )
         from spacap3d_tpu.eval.mul_eval import mul_eval_grid
 
-        corpus_cache = os.path.join(root, "corpus_val.json")
+        corpus_cache = os.path.join(root, f"corpus_{phase}.json")
         if os.path.exists(corpus_cache):
             corpus = json.load(open(corpus_cache))
         else:
@@ -161,8 +193,8 @@ def main(argv=None):
                 eval_step, params, state, ds, loader, vocab, dc, val_anns,
                 min_iou=args.min_iou,
                 also_detection=not args.no_detection_eval,
-                corpus_cache=os.path.join(root, "corpus_val.json"),
-                pred_path=os.path.join(root, f"pred_val_{args.eval_tag}_{seed}.json"),
+                corpus_cache=os.path.join(root, f"corpus_{phase}.json"),
+                pred_path=os.path.join(root, f"pred_{phase}_{args.eval_tag}_{seed}.json"),
                 batch_to_device=to_dev,
                 attn_dump_step=attn_dump_step,
                 save_proposal=args.save_proposal,

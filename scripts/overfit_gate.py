@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Overfit gate: the strongest end-to-end learning proof available
+without the (non-redistributable) ScanNet data, jar, or reference
+checkpoints — train the FULL stack from scratch on a tiny synthetic
+corpus until the captioner memorizes it, then score CIDEr on that same
+train split through the real eval harness.
+
+This exercises the complete production loop the reference's de-facto
+gate exercises (lib/solver.py:511-580 best-by-CIDEr selection):
+synthetic scenes -> ScanReferDataset -> Solver (pjit train step, both
+optimizer groups, BN state, checkpointing) -> model_last.ckpt ->
+scripts/eval.py --use_train -> eval_cap (NMS + IoU matching + decode)
+-> capeval CIDEr. Detection must localize the objects AND the captioner
+must reproduce their annotations for the gate to pass — a >1.0 CIDEr
+(i.e. >100 in the reference's x100 convention) is unreachable by a
+model that hasn't learned both.
+
+Run: python scripts/overfit_gate.py [--epochs 150] [--scenes 6] ...
+Prints one JSON line {"cider": ..., "passed": bool, ...}.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", type=str, default="/tmp/spacap_overfit")
+    p.add_argument("--scenes", type=int, default=6)
+    p.add_argument("--objects", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=150)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--num_points", type=int, default=1024)
+    p.add_argument("--num_proposals", type=int, default=16)
+    p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--transformer_lr", type=float, default=2e-3)
+    p.add_argument("--threshold", type=float, default=1.0,
+                   help="CIDEr gate (raw scale; 1.0 == 100 in the "
+                        "reference tables' x100 convention)")
+    p.add_argument("--min_iou", type=float, default=0.5)
+    p.add_argument("--arch_preset", type=str, default="tiny")
+    p.add_argument("--seed", type=int, default=11)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import shutil
+
+    from spacap3d_tpu.data.synthetic import write_synthetic_dataset
+
+    data_root = os.path.join(args.workdir, "data")
+    out_dir = os.path.join(args.workdir, "outputs")
+    shutil.rmtree(args.workdir, ignore_errors=True)
+    os.makedirs(data_root, exist_ok=True)
+
+    # one annotation per object: an unambiguous memorization target
+    anns, scene_ids = write_synthetic_dataset(
+        data_root, num_scenes=args.scenes, seed=args.seed,
+        anns_per_object=1, num_objects=args.objects,
+    )
+    # the gate trains AND evaluates on the same (train) corpus
+    all_path = os.path.join(data_root, "ScanRefer_filtered_all.json")
+    with open(os.path.join(data_root, "ScanRefer_filtered_train.json"), "w") as f:
+        json.dump(anns, f)
+    with open(os.path.join(data_root, "ScanRefer_filtered_val.json"), "w") as f:
+        json.dump([a for a in anns if a["scene_id"] == scene_ids[0]], f)
+    os.remove(all_path)
+
+    import train as train_cli
+
+    t0 = time.time()
+    train_cli.main([
+        "--data_root", data_root, "--output_dir", out_dir,
+        "--arch_preset", args.arch_preset,
+        "--num_points", str(args.num_points),
+        "--num_proposals", str(args.num_proposals),
+        "--batch_size", str(args.batch_size),
+        "--epoch", str(args.epochs),
+        "--lr", str(args.lr), "--transformer_lr", str(args.transformer_lr),
+        "--transformer_dropout", "0.0",
+        "--no_augment",
+        "--val_step", "1000000",       # no in-loop val: gate is the final eval
+        "--verbose", str(max(1, args.epochs // 10)),
+        "--num_workers", "2", "--seed", str(args.seed),
+        "--tag", "overfit",
+    ])
+    train_s = time.time() - t0
+    run = [d for d in os.listdir(out_dir)][0]
+
+    import csv
+
+    import eval as eval_cli
+
+    t0 = time.time()
+    eval_cli.main([
+        "--folder", run, "--data_root", data_root, "--output_dir", out_dir,
+        "--batch_size", str(min(args.batch_size, args.scenes)),
+        "--num_workers", "2", "--checkpoint", "model_last.ckpt",
+        "--eval_tag", "overfit", "--use_train",
+        "--min_iou", str(args.min_iou), "--no_detection_eval",
+    ])
+    eval_s = time.time() - t0
+    with open(os.path.join(out_dir, run, "overfit_results.csv")) as f:
+        row = next(csv.DictReader(f))
+    cider = float(row["cider"])
+    result = {
+        "cider": round(cider, 4),
+        "threshold": args.threshold,
+        "passed": cider > args.threshold,
+        "bleu4": round(float(row["bleu-4"]), 4),
+        "rouge": round(float(row["rouge"]), 4),
+        "epochs": args.epochs,
+        "train_s": round(train_s, 1),
+        "eval_s": round(eval_s, 1),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    r = main()
+    sys.exit(0 if r["passed"] else 1)

@@ -46,6 +46,9 @@ def parse_args(argv=None):
     p.add_argument("--num_scenes", type=int, default=-1)
     p.add_argument("--criterion", type=str, default="cider")
     p.add_argument("--no_height", action="store_true")
+    p.add_argument("--no_augment", action="store_true",
+                   help="disable train-time augmentation (the reference "
+                        "always augments; used by the overfit gate)")
     p.add_argument("--no_detection", action="store_true")
     p.add_argument("--no_caption", action="store_true")
     p.add_argument("--use_color", action="store_true")
@@ -112,7 +115,7 @@ def build_configs(args):
         dataset=args.dataset, data_root=args.data_root,
         num_points=args.num_points, use_height=not args.no_height,
         use_color=args.use_color, use_normal=args.use_normal,
-        use_multiview=args.use_multiview, augment=True,
+        use_multiview=args.use_multiview, augment=not args.no_augment,
         use_relation=not args.no_relation, num_workers=args.num_workers,
     )
     arch = dict(

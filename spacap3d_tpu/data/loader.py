@@ -16,8 +16,13 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 
-def stack_batch(items) -> Dict[str, np.ndarray]:
-    keys = items[0].keys()
+def stack_batch(items, keys=None) -> Dict[str, np.ndarray]:
+    """Stack a list of item dicts. ``keys`` restricts which leaves are
+    stacked — the eval/grid paths pass only what the device step + host
+    post-processing consume (e.g. a val item's all-zero (40k, 9)
+    vote_label alone is ~1.4 MB/item of dead copy otherwise)."""
+    if keys is None:
+        keys = items[0].keys()
     return {k: np.stack([it[k] for it in items]) for k in keys}
 
 

@@ -156,7 +156,8 @@ def synthetic_batch(
 
 
 def write_synthetic_dataset(
-    root: str, num_scenes: int = 4, seed: int = 0, **scene_kwargs
+    root: str, num_scenes: int = 4, seed: int = 0, anns_per_object: int = 2,
+    **scene_kwargs
 ) -> Tuple[List[dict], List[str]]:
     """Writes scenes under <root>/scannet/scannet_data and a ScanRefer-style
     annotation json under <root>/ScanRefer_filtered_all.json. Returns
@@ -173,7 +174,8 @@ def write_synthetic_dataset(
         arrays = make_scene(rng, dc=dc, **scene_kwargs)
         for name, arr in arrays.items():
             np.save(os.path.join(scene_dir, f"{sid}_{name}.npy"), arr)
-        all_anns += make_annotations(rng, sid, arrays["aligned_bbox"], dc=dc)
+        all_anns += make_annotations(rng, sid, arrays["aligned_bbox"],
+                                     anns_per_object=anns_per_object, dc=dc)
     with open(os.path.join(root, "ScanRefer_filtered_all.json"), "w") as f:
         json.dump(all_anns, f)
     return all_anns, scene_ids

@@ -382,53 +382,146 @@ def porter_stem(w: str) -> str:
     return w
 
 
-class MeteorLite:
-    """Pure-Python METEOR-style scorer: exact + Porter-stem matching with
-    the METEOR-1.5 English parameters alpha=.85, beta=.2 (fragmentation
-    penalty EXPONENT), gamma=.6 (penalty weight). Pen = gamma * frag^beta,
-    Fmean = P*R / (alpha*P + (1-alpha)*R). NON-PARITY fallback (no
-    paraphrase table, no delta content/function weighting) — use the jar
-    for published numbers."""
+_STEM_CACHE: Dict[str, str] = {}
 
-    alpha, beta, gamma = 0.85, 0.2, 0.6
+
+def _stem_cached(w: str) -> str:
+    s = _STEM_CACHE.get(w)
+    if s is None:
+        s = porter_stem(w)
+        _STEM_CACHE[w] = s
+    return s
+
+
+# English closed-class (function) words for METEOR's delta weighting. The
+# jar ships a corpus-derived resources/function.words list (not
+# redistributable); this is the standard closed-class inventory —
+# articles, prepositions, conjunctions, pronouns, auxiliaries, plus the
+# pipeline's sos/eos sentinels (which the jar's -norm run also treats as
+# high-frequency tokens).
+FUNCTION_WORDS = frozenset("""
+a an the this that these those some any each every no all both either
+neither of in on at by for with about against between into through
+during before after above below to from up down out off over under
+again further and but or nor so yet as if then than because while
+although though since until unless whereas i me my mine myself we us
+our ours ourselves you your yours yourself yourselves he him his
+himself she her hers herself it its itself they them their theirs
+themselves who whom whose which what where when why how be am is are
+was were been being have has had having do does did doing will would
+shall should can could may might must not only very too also just
+there here sos eos
+""".split())
+
+
+class MeteorLite:
+    """Pure-Python METEOR-1.5 scorer (Denkowski & Lavie 2014) with the
+    exact and Porter-stem matcher stages:
+
+      * alignment: beam search over hypothesis positions (beam 40, like
+        the jar's Aligner resolve stage) selecting the one-to-one match
+        set that maximizes matches, then minimizes chunks, then
+        maximizes matcher weight;
+      * matcher weights w_exact=1.0, w_stem=0.6 and content/function
+        word weighting delta (English 0.75): each match contributes
+        w * delta for a content word and w * (1-delta) for a function
+        word, on each side independently;
+      * P = wsum_hyp / (delta*|h_content| + (1-delta)*|h_function|),
+        R likewise over the reference; Fmean = P*R/(alpha*P+(1-alpha)*R);
+        Pen = gamma * (chunks/matches)^beta; score = Fmean * (1-Pen);
+        best reference wins.
+
+    English-task parameters alpha=.85 beta=.2 gamma=.6 delta=.75.
+    NON-PARITY fallback versus the jar (no WordNet synonym or paraphrase
+    stage, closed-class function-word list instead of the jar's
+    corpus-derived one) — use the jar for published numbers. The 2005
+    METEOR configuration (Banerjee & Lavie: Fmean=10PR/(R+9P),
+    Pen=0.5*(ch/m)^3, exact-weight stems, no delta) is reproducible via
+    constructor args — pinned against the paper's worked examples in
+    tests/test_meteor.py."""
+
+    def __init__(self, alpha: float = 0.85, beta: float = 0.2,
+                 gamma: float = 0.6, delta: float = 0.75,
+                 w_exact: float = 1.0, w_stem: float = 0.6,
+                 beam: int = 40):
+        self.alpha, self.beta, self.gamma, self.delta = alpha, beta, gamma, delta
+        self.w_exact, self.w_stem = w_exact, w_stem
+        self.beam = beam
 
     def _align(self, hyp: List[str], ref: List[str]):
-        matches = []
-        used_r = set()
-        for i, hw in enumerate(hyp):
+        """Returns (n_match, n_chunk, wsum_hyp, wsum_ref) of the best
+        one-to-one alignment by (matches desc, chunks asc, weight desc)."""
+        d = self.delta
+        # candidate matches per hyp position: (j, weight)
+        ref_stems = [_stem_cached(w) for w in ref]
+        cands = []
+        for hw in hyp:
+            row = []
+            hs = _stem_cached(hw)
             for j, rw in enumerate(ref):
-                if j in used_r:
-                    continue
-                if hw == rw or porter_stem(hw) == porter_stem(rw):
-                    matches.append((i, j))
-                    used_r.add(j)
-                    break
-        return matches
+                if hw == rw:
+                    row.append((j, self.w_exact))
+                elif hs == ref_stems[j]:
+                    row.append((j, self.w_stem))
+            cands.append(row)
+        hw_f = [w in FUNCTION_WORDS for w in hyp]
+        rw_f = [w in FUNCTION_WORDS for w in ref]
 
-    def _chunks(self, matches):
-        if not matches:
-            return 0
-        matches = sorted(matches)
-        chunks = 1
-        for (i0, j0), (i1, j1) in zip(matches, matches[1:]):
-            if not (i1 == i0 + 1 and j1 == j0 + 1):
-                chunks += 1
-        return chunks
+        # beam over hyp positions; state keyed by (used_mask, prev_j)
+        # where prev_j = ref index matched at the PREVIOUS hyp position
+        # (-1 if it was unmatched) for incremental chunk counting.
+        # value = (n_match, -n_chunk, wsum_h + wsum_r, wsum_h, wsum_r)
+        states = {(0, -1): (0, 0, 0.0, 0.0, 0.0)}
+        for i, row in enumerate(cands):
+            new: Dict = {}
+
+            def upd(key, val):
+                old = new.get(key)
+                if old is None or val[:3] > old[:3]:
+                    new[key] = val
+
+            for (mask, _pj), val in states.items():
+                upd((mask, -1), val)    # hyp word i unmatched
+            for (mask, pj), (nm, nc, _ws, wh, wr) in states.items():
+                for j, w in row:
+                    if mask & (1 << j):
+                        continue
+                    chunk = nc if j == pj + 1 and pj >= 0 else nc - 1
+                    nwh = wh + w * (d if not hw_f[i] else 1 - d)
+                    nwr = wr + w * (d if not rw_f[j] else 1 - d)
+                    upd((mask | (1 << j), j),
+                        (nm + 1, chunk, nwh + nwr, nwh, nwr))
+            if len(new) > self.beam:
+                top = sorted(new.items(), key=lambda kv: kv[1][:3],
+                             reverse=True)[: self.beam]
+                new = dict(top)
+            states = new
+        nm, nc, _ws, wh, wr = max(states.values(), key=lambda v: v[:3])
+        return nm, -nc, wh, wr
 
     def sentence_score(self, hyp_s: str, refs: List[str]) -> float:
-        hyp = hyp_s.split()
+        hyp = hyp_s.lower().split()
+        d = self.delta
         best = 0.0
+        if not hyp:
+            return 0.0
+        denom_h = sum(1 - d if f else d
+                      for f in (w in FUNCTION_WORDS for w in hyp))
         for ref_s in refs:
-            ref = ref_s.split()
-            matches = self._align(hyp, ref)
-            m = len(matches)
-            if m == 0 or not hyp or not ref:
+            ref = ref_s.lower().split()
+            if not ref:
                 continue
-            p = m / len(hyp)
-            r = m / len(ref)
+            m, chunks, wh, wr = self._align(hyp, ref)
+            if m == 0:
+                continue
+            denom_r = sum(1 - d if f else d
+                          for f in (w in FUNCTION_WORDS for w in ref))
+            p = wh / denom_h
+            r = wr / denom_r
+            if p == 0 or r == 0:
+                continue
             fmean = p * r / (self.alpha * p + (1 - self.alpha) * r)
-            frag = self._chunks(matches) / m
-            pen = self.gamma * frag ** self.beta
+            pen = self.gamma * (chunks / m) ** self.beta
             best = max(best, fmean * (1 - pen))
         return best
 

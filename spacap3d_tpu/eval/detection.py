@@ -186,20 +186,25 @@ def _pred_mask(ep: Dict[str, np.ndarray], config: Dict):
 
     nonempty = np.ones((bsize, k), bool)
     if config.get("remove_empty_box", False):
-        from spacap3d_tpu.data.native import points_in_boxes_native
+        if "nonempty_box" in ep:
+            # precomputed in-device by the eval step (train/step.py):
+            # same f32 compares on the same values, no host work
+            nonempty = np.asarray(ep["nonempty_box"]).astype(bool)
+        else:
+            from spacap3d_tpu.data.native import points_in_boxes_native
 
-        pc = np.asarray(ep["point_clouds"])[:, :, :3]    # (B, N, 3)
-        for i in range(bsize):
-            # only counts >= 5 matters: cap lets the kernel stop early
-            counts = points_in_boxes_native(pc[i], box_lo[i], box_hi[i],
-                                            cap=5)
-            if counts is None:
-                inside = (
-                    (pc[i][None, :, :] >= box_lo[i][:, None, :])
-                    & (pc[i][None, :, :] <= box_hi[i][:, None, :])
-                ).all(-1)                                 # (K, N)
-                counts = inside.sum(-1)
-            nonempty[i] = counts >= 5                     # "< 5 points" removed
+            pc = np.asarray(ep["point_clouds"])[:, :, :3]    # (B, N, 3)
+            for i in range(bsize):
+                # only counts >= 5 matters: cap lets the kernel stop early
+                counts = points_in_boxes_native(pc[i], box_lo[i], box_hi[i],
+                                                cap=5)
+                if counts is None:
+                    inside = (
+                        (pc[i][None, :, :] >= box_lo[i][:, None, :])
+                        & (pc[i][None, :, :] <= box_hi[i][:, None, :])
+                    ).all(-1)                                 # (K, N)
+                    counts = inside.sum(-1)
+                nonempty[i] = counts >= 5                 # "< 5 points" removed
 
     pred_mask = np.zeros((bsize, k))
     thresh = config["nms_iou"]
@@ -472,7 +477,14 @@ def eval_det(pred_all: Dict, gt_all: Dict, ovthresh=0.25, use_07_metric=False,
     concatenated once (scan order = the reference's dict insertion order)
     and each class runs through _eval_det_cls_core — the reference's
     Pool(10)-over-classes (utils/eval_det.py:207-253) is obsolete at
-    ~5 ms/class (``num_workers`` kept for API compatibility)."""
+    ~5 ms/class (``num_workers`` kept for API compatibility).
+
+    API narrowing vs the reference: classnames must be INTEGER ids (the
+    vectorized core groups by an int64 class column; the reference's
+    eval_det accepted arbitrary hashable classnames, e.g. strings). Map
+    string classnames through an index (e.g. ScannetDatasetConfig's
+    type2class) before calling — every in-repo caller already passes
+    ints."""
     del num_workers
     scan_ids = list(pred_all.keys())
     scan_index = {s: i for i, s in enumerate(scan_ids)}

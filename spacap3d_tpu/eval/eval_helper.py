@@ -237,6 +237,106 @@ def feed_scene_cap(
     return candidates, ap_calc, intermediates, proposal_dump
 
 
+def eval_visualize(
+    eval_step, params, state, dataset, loader,
+    vocab: Vocabulary, organized: Dict, dc: ScannetDatasetConfig,
+    out_root: str,
+    scans_dir: Optional[str] = None,
+    min_iou: float = EVAL_MIN_IOU,
+    batch_to_device=None,
+    verbose: bool = False,
+    nodryrun: bool = False,
+) -> Dict[str, Dict]:
+    """``--eval_visualize`` (reference scripts/eval.py:247-378): for every
+    scene, dump ``vis/{scene}/``:
+
+      * ``{scene}.ply`` — the axis-aligned scene mesh when present under
+        ``scans_dir`` (the reference copies ``{scene}_axis_aligned.ply``),
+        else the evaluated 40k-point cloud as a point ply;
+      * ``pred-{object_id}-{object_name}.ply`` — a cylinder-edge box mesh
+        per NMS & objectness & IoU>min_iou surviving proposal, colored by
+        ``COLORS[object_id % len(COLORS)]`` like the reference (:366-369);
+      * ``predictions.json`` — {object_id: {object_name, description}}.
+
+    ``nodryrun=False`` (the reference default) only prints the paths.
+    Returns {scene_id: candidates} for testing."""
+    import shutil
+
+    from spacap3d_tpu.train.step import eval_input_batch
+    from spacap3d_tpu.utils.visualize import COLORS, write_bbox, write_ply
+    import jax as _jax
+
+    post = dict(POST_DICT_DEFAULTS, dataset_config=dc)
+    all_candidates: Dict[str, Dict] = {}
+    for batch in loader:
+        dev_batch = eval_input_batch(batch)
+        if batch_to_device:
+            dev_batch = batch_to_device(dev_batch)
+        out = eval_step(params, state, dev_batch)
+        out = _jax.device_get(out)
+        captions = out["lang_cap"]
+        bsize = captions.shape[0]
+        valid = np.asarray(
+            batch.get("__valid__", np.ones(bsize, bool))
+        ).astype(bool)
+        nms_mask, det_ids, ious, _, _ = postprocess_batch(
+            out, batch, post, min_iou, with_detection=False
+        )
+        keep = (nms_mask == 1) & (ious > min_iou)
+        for b in range(bsize):
+            if not valid[b]:
+                continue
+            ds_idx = int(batch["dataset_idx"][b])
+            scene_id = dataset.annotations[ds_idx]["scene_id"]
+            scene_root = os.path.join(out_root, "vis", scene_id)
+            if verbose:
+                print(">> scene root:", scene_root)
+            if nodryrun:
+                os.makedirs(scene_root, exist_ok=True)
+            mesh_path = os.path.join(scene_root, f"{scene_id}.ply")
+            mesh_src = (
+                os.path.join(scans_dir, scene_id,
+                             f"{scene_id}_axis_aligned.ply")
+                if scans_dir else None
+            )
+            if nodryrun:
+                if mesh_src and os.path.exists(mesh_src):
+                    shutil.copyfile(mesh_src, mesh_path)
+                else:
+                    write_ply(batch["point_clouds"][b, :, :3], mesh_path)
+            candidates: Dict[str, Dict] = {}
+            for k in np.where(keep[b])[0]:
+                object_id = str(int(det_ids[b, k]))
+                try:
+                    ann_list = list(organized[scene_id][object_id].keys())
+                    object_name = organized[scene_id][object_id][
+                        ann_list[0]]["object_name"]
+                except KeyError:
+                    continue
+                candidates[object_id] = {
+                    "object_name": object_name,
+                    "description": vocab.decode(captions[b, k]),
+                }
+                ply_path = os.path.join(
+                    scene_root, f"pred-{object_id}-{object_name}.ply"
+                )
+                if verbose:
+                    print(ply_path)
+                color = COLORS[int(object_id) % len(COLORS)]
+                if nodryrun:
+                    write_bbox(np.asarray(out["bbox_corner"][b, k]),
+                               ply_path,
+                               color=tuple(int(x) for x in color))
+            pred_path = os.path.join(scene_root, "predictions.json")
+            if verbose:
+                print("pred_path:", pred_path)
+            if nodryrun:
+                with open(pred_path, "w") as f:
+                    json.dump(candidates, f, indent=4)
+            all_candidates[scene_id] = candidates
+    return all_candidates
+
+
 def eval_detection(
     eval_step, params, state, loader, dc: ScannetDatasetConfig,
     ap_iou: float = 0.5, batch_to_device=None, input_filter=None,

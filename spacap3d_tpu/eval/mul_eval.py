@@ -50,15 +50,18 @@ class GridLoader:
     per-seed independent point subsample the mul_eval protocol requires
     (the reference reseeds the global numpy RNG per seed,
     scripts/eval.py:456-460). Emits ``__seed__`` and ``__valid__`` row
-    vectors; the final batch wraps (padded rows are marked invalid)."""
+    vectors; the final batch wraps (padded rows are marked invalid).
+    ``keys`` restricts which item leaves are stacked into batches."""
 
     def __init__(self, dataset, seeds: Sequence[int], batch_size: int,
-                 num_workers: int = 8, prefetch: int = 4):
+                 num_workers: int = 8, prefetch: int = 4,
+                 keys: Optional[Sequence[str]] = None):
         self.dataset = dataset
         self.seeds = list(seeds)
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        self.keys = keys
 
     def __len__(self):
         n = len(self.seeds) * len(self.dataset)
@@ -108,7 +111,7 @@ class GridLoader:
                     if stop.is_set():
                         break
                     items = list(pool.map(build_item, batches[b]))
-                    batch = stack_batch(items)
+                    batch = stack_batch(items, keys=self.keys)
                     batch["__seed__"] = batches[b, :, 0].copy()
                     batch["__valid__"] = valid[b].copy()
                     q.put(batch)
@@ -186,7 +189,17 @@ def mul_eval_grid(
         if also_detection else {}
     )
 
-    loader = GridLoader(dataset, seeds, batch_size, num_workers=num_workers)
+    # stack only what the device step + host post-processing consume;
+    # a val item carries ~30 keys (incl. a 1.4 MB all-zero vote_label)
+    # whose np.stack cost would dominate the 1-core host budget
+    from spacap3d_tpu.train.step import EVAL_INPUT_KEYS
+    grid_keys = sorted(
+        set(EVAL_INPUT_KEYS)
+        | {"dataset_idx", "scene_object_ids", "gt_box_corner_label",
+           "box_label_mask", "sem_cls_label"}
+    )
+    loader = GridLoader(dataset, seeds, batch_size, num_workers=num_workers,
+                        keys=grid_keys)
     lock = threading.Lock()
     consume_s = [0.0]
     rows_per_seed = len(dataset)

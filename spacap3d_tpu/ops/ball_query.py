@@ -30,6 +30,7 @@ alternatives):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -131,9 +132,12 @@ def ball_query(
     The two can disagree on points within ~1 ulp of the radius boundary
     (different f32 summation order — the same class of divergence the
     CUDA reference's direct (c-p)^2 form has against both).
-    """
-    import os
 
+    NOTE: the SPACAP_BALL_QUERY_IMPL override is read at TRACE time and
+    baked into the cached jit executable — set it before the first
+    forward; changing it later in-process has no effect on already-
+    compiled programs.
+    """
     impl = os.environ.get("SPACAP_BALL_QUERY_IMPL", "auto")
     use_pallas = (
         impl == "pallas"

@@ -50,18 +50,24 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, *, npoint: int, n: int, b: int):
         py = jnp.sum(jnp.where(onehot, y, 0.0), axis=1, keepdims=True)
         pz = jnp.sum(jnp.where(onehot, z, 0.0), axis=1, keepdims=True)
         d = (x - px) ** 2 + (y - py) ** 2 + (z - pz) ** 2
-        mind = jnp.where(valid, jnp.minimum(mind, d), mind)
-        score = jnp.where(valid, mind, -1.0)
+        # invalid points carry mind == -1 from init: d >= 0 always, so
+        # the unconditional min keeps them at -1 — no per-step valid
+        # mask or separate score array (two fewer full (B, N) passes in
+        # the sequential hot loop). Valid points see the exact same
+        # min-distance sequence as the masked form.
+        mind = jnp.minimum(mind, d)
         # first-index argmax via compare + min-index (jnp.argmax hits a
         # Mosaic f32->i32 materialization bug at single-lane-tile shapes)
-        best = jnp.max(score, axis=1, keepdims=True)
-        nxt = jnp.min(jnp.where(score == best, col, n), axis=1).astype(jnp.int32)
+        best = jnp.max(mind, axis=1, keepdims=True)
+        nxt = jnp.min(jnp.where(mind == best, col, n), axis=1).astype(jnp.int32)
         # dynamic-column store is not lane-aligned on TPU: carry the pick
         # matrix through the loop and store once at the end instead
         picks = jnp.where(col_m == i, nxt[:, None], picks)
         return mind, nxt, picks
 
-    mind0 = jnp.full((b, n), _INIT_DIST, dtype=jnp.float32)
+    # mag<=eps points start (and stay) at -1.0: excluded from argmax
+    # exactly like the reference's skip (sampling_gpu.cu:100-101)
+    mind0 = jnp.where(valid, _INIT_DIST, -1.0).astype(jnp.float32)
     picks0 = jnp.zeros((b, m), jnp.int32)
     _, _, picks = lax.fori_loop(
         1, npoint, body, (mind0, jnp.zeros((b,), jnp.int32), picks0)

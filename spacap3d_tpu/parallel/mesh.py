@@ -14,6 +14,8 @@ non-goals (SURVEY.md §2.6); the mesh abstraction still leaves room for a
 """
 from __future__ import annotations
 
+import os
+import warnings
 from typing import Optional, Sequence
 
 import jax
@@ -35,20 +37,38 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+_warned_replicated_batch = False
+
+
 def shard_batch(mesh: Mesh, batch: dict, axis_name: str = "data") -> dict:
     """Place a host batch dict onto the mesh, sharded along the batch dim.
 
     The loaders (DataLoader / GridLoader) pad every batch to the full
     static batch size and mark wrapped rows ``__valid__=False``, so with
-    ``batch_size % n_devices == 0`` every array here shards evenly. The
-    replication branch below is a graceful fallback for mis-sized
-    configs (each device then redundantly computes the whole batch) —
-    pick a divisible batch size for real multi-chip runs."""
+    ``batch_size % n_devices == 0`` every array here shards evenly. A
+    non-divisible leading dim falls back to replication (each device
+    redundantly computes the whole batch): that fallback WARNS once, and
+    raises instead when ``SPACAP_STRICT_SHARDING=1`` — a silently
+    replicated multi-chip run would burn n_devices x the FLOPs."""
+    global _warned_replicated_batch
     n = mesh.shape[axis_name]
 
-    def put(x):
+    def put(k, x):
         divisible = np.ndim(x) >= 1 and np.shape(x)[0] % n == 0
+        if not divisible and np.ndim(x) >= 1:
+            global _warned_replicated_batch
+            msg = (
+                f"shard_batch: leaf '{k}' with leading dim {np.shape(x)[0]}"
+                f" does not divide the {n}-device '{axis_name}' mesh axis;"
+                " replicating (every device computes the full batch). Use a"
+                " batch size divisible by the device count."
+            )
+            if os.environ.get("SPACAP_STRICT_SHARDING"):
+                raise ValueError(msg)
+            if not _warned_replicated_batch:
+                warnings.warn(msg, RuntimeWarning, stacklevel=2)
+                _warned_replicated_batch = True
         spec = P(axis_name) if divisible else P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    return {k: put(v) for k, v in batch.items()}
+    return {k: put(k, v) for k, v in batch.items()}

@@ -164,7 +164,7 @@ def make_eval_step(cfg: ModelConfig, mesh=None, with_caption_decode=True):
     out_keys = (
         "lang_cap", "bbox_corner", "bbox_mask", "objectness_scores",
         "sem_cls_scores", "sem_cls", "center", "object_assignment",
-        "objectness_label", "aggregated_vote_xyz",
+        "objectness_label", "aggregated_vote_xyz", "nonempty_box",
     )
 
     def fwd(params, state, batch):
@@ -180,6 +180,24 @@ def make_eval_step(cfg: ModelConfig, mesh=None, with_caption_decode=True):
         edist = jnp.sqrt(dist1 + 1e-6)
         ep["objectness_label"] = (edist < NEAR_THRESHOLD).astype(jnp.int32)
         ep["object_assignment"] = ind1
+        # remove_empty_box side-output (reference ap_helper.py:69-79 tests
+        # it on the CPU with scipy Delaunay; heading is always 0 so the
+        # AABB >= 5-points test is exact — see eval/detection.py). Done
+        # in-device: it is a fused (B, K, N) compare+reduce (~0.5 ms)
+        # versus ~17 ms/batch of host CPU on the 1-core bench host. The
+        # comparisons run on the identical f32 values the host path
+        # would fetch, so the decision is bit-equal.
+        if "bbox_corner" in ep:
+            corners = ep["bbox_corner"]                       # (B, K, 8, 3)
+            lo = jnp.min(corners, axis=2)
+            hi = jnp.max(corners, axis=2)
+            pc3 = batch["point_clouds"][..., :3]              # (B, N, 3)
+            inside = jnp.logical_and(
+                pc3[:, None, :, :] >= lo[:, :, None, :],
+                pc3[:, None, :, :] <= hi[:, :, None, :],
+            ).all(axis=-1)                                    # (B, K, N)
+            counts = jnp.sum(inside, axis=-1, dtype=jnp.int32)
+            ep["nonempty_box"] = counts >= 5
         return {k: ep[k] for k in out_keys if k in ep}
 
     # No explicit in_shardings: the computation follows the argument

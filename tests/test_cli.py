@@ -69,3 +69,42 @@ def test_train_and_eval_cli(data_root, tmp_path):
     ])
     rows = open(os.path.join(run_root, "mul_results.csv")).readlines()
     assert len(rows) == 3  # header + 2 seeds
+
+    # --use_train evaluates the TRAIN split (reference eval.py:405):
+    # corpus/pred artifacts switch to the train phase naming
+    eval_cli.main([
+        "--folder", runs[0], "--data_root", data_root,
+        "--output_dir", out_dir, "--batch_size", "4", "--num_workers", "1",
+        "--checkpoint", ckpt, "--eval_tag", "ontrain", "--use_train",
+        "--no_detection_eval",
+    ])
+    assert os.path.exists(os.path.join(run_root, "corpus_train.json"))
+    assert os.path.exists(os.path.join(run_root, "ontrain_results.csv"))
+    # train corpus covers the train scene's objects, not the val scene's
+    corpus = json.load(open(os.path.join(run_root, "corpus_train.json")))
+    train_anns = json.load(
+        open(os.path.join(data_root, "ScanRefer_filtered_train.json")))
+    assert {k.split("|")[0] for k in corpus} == \
+        {a["scene_id"] for a in train_anns}
+
+    # --eval_visualize dumps vis/{scene}/ scene ply + predictions.json
+    # (+ pred-*.ply per surviving proposal; an undertrained model may
+    # legitimately have none at IoU 0.5, so drop the bar to 0.0 to make
+    # box dumps near-certain)
+    eval_cli.main([
+        "--folder", runs[0], "--data_root", data_root,
+        "--output_dir", out_dir, "--batch_size", "4", "--num_workers", "1",
+        "--checkpoint", ckpt, "--eval_visualize", "--nodryrun",
+        "--min_iou", "0.0",
+    ])
+    val_anns = json.load(
+        open(os.path.join(data_root, "ScanRefer_filtered_val.json")))
+    val_scene = val_anns[0]["scene_id"]
+    vis_dir = os.path.join(run_root, "vis", val_scene)
+    assert os.path.exists(os.path.join(vis_dir, f"{val_scene}.ply"))
+    preds = json.load(open(os.path.join(vis_dir, "predictions.json")))
+    box_plys = [f for f in os.listdir(vis_dir) if f.startswith("pred-")]
+    assert len(box_plys) == len(preds)
+    for oid, entry in preds.items():
+        assert os.path.exists(os.path.join(
+            vis_dir, f"pred-{oid}-{entry['object_name']}.ply"))

@@ -151,3 +151,76 @@ def test_nms_crnr_dist():
     conf = np.array([0.9, 0.8, 0.7])
     pick = nms_crnr_dist(boxes, conf, overlap_threshold=0.9)
     assert sorted(pick) == [0, 2]  # near-duplicate suppressed
+
+
+def test_pred_mask_uses_precomputed_nonempty_box():
+    """The eval step now computes remove_empty_box in-device
+    (train/step.py ``nonempty_box``); _pred_mask must honor it and make
+    the same decisions as the host point-in-box path on identical f32
+    values."""
+    from spacap3d_tpu.data.scannet_config import ScannetDatasetConfig
+    from spacap3d_tpu.eval.detection import _pred_mask
+
+    rng = np.random.RandomState(0)
+    B, K, N = 2, 16, 500
+    centers = rng.rand(B, K, 3).astype(np.float32) * 4
+    # mix of clearly-populated (big) and likely-empty (tiny) boxes so the
+    # remove_empty_box decision is exercised in both directions
+    sizes = np.where(rng.rand(B, K, 1) > 0.5,
+                     rng.rand(B, K, 3) * 2.0 + 1.0,
+                     rng.rand(B, K, 3) * 0.05 + 0.01).astype(np.float32)
+    signs = np.array(
+        [[1, 1, 1], [1, -1, 1], [-1, -1, 1], [-1, 1, 1],
+         [1, 1, -1], [1, -1, -1], [-1, -1, -1], [-1, 1, -1]], np.float32)
+    corners = centers[:, :, None, :] + 0.5 * sizes[:, :, None, :] * signs
+    pc = (rng.rand(B, N, 4) * 4).astype(np.float32)
+    ep_base = {
+        "bbox_corner": corners,
+        "sem_cls": rng.randint(0, 18, (B, K)),
+        "sem_cls_scores": rng.randn(B, K, 18).astype(np.float32),
+        "objectness_scores": rng.randn(B, K, 2).astype(np.float32),
+    }
+    config = dict(remove_empty_box=True, use_3d_nms=True, nms_iou=0.25,
+                  cls_nms=True, dataset_config=ScannetDatasetConfig())
+
+    # host path (native/numpy point-in-box)
+    ep_host = dict(ep_base, point_clouds=pc)
+    mask_host, *_ = _pred_mask(ep_host, config)
+
+    # device-precomputed path: same f32 compares as the eval step emits
+    lo, hi = corners.min(2), corners.max(2)
+    inside = ((pc[:, None, :, :3] >= lo[:, :, None, :])
+              & (pc[:, None, :, :3] <= hi[:, :, None, :])).all(-1)
+    nonempty = inside.sum(-1) >= 5
+    ep_dev = dict(ep_base, nonempty_box=nonempty)   # note: NO point_clouds
+    mask_dev, *_ = _pred_mask(ep_dev, config)
+    np.testing.assert_array_equal(mask_dev, mask_host)
+
+    # and the jitted eval step's own output matches the host computation
+    import jax.numpy as jnp
+    from spacap3d_tpu.train.step import make_eval_step
+    from spacap3d_tpu.models import init_spacap
+    from spacap3d_tpu.config import ModelConfig
+    import dataclasses
+    import jax
+    cfg = ModelConfig(
+        num_points=N, num_proposals=K, num_layers=1, num_heads=2,
+        d_model=16, d_ff=32, max_des_len=5, vocab_size=32,
+        sa_npoints=(64, 32, 16, 8), sa_nsamples=(8, 8, 4, 4),
+        sa_widths=((8, 8, 16), (16, 16, 32), (16, 16, 32), (16, 16, 32)),
+        fp_width=32, seed_feature_dim=32, proposal_feature_dim=16,
+    )
+    dc = ScannetDatasetConfig()
+    params, state = init_spacap(jax.random.PRNGKey(0), cfg, dc.mean_size_arr)
+    step = make_eval_step(cfg)
+    batch = {"point_clouds": jnp.asarray(pc),
+             "center_label": jnp.asarray(rng.rand(B, 128, 3), jnp.float32)}
+    out = step(params, state, batch)
+    assert "nonempty_box" in out
+    crn = np.asarray(out["bbox_corner"])
+    lo2, hi2 = crn.min(2), crn.max(2)
+    inside2 = ((pc[:, None, :, :3] >= lo2[:, :, None, :])
+               & (pc[:, None, :, :3] <= hi2[:, :, None, :])).all(-1)
+    np.testing.assert_array_equal(
+        np.asarray(out["nonempty_box"]), inside2.sum(-1) >= 5
+    )

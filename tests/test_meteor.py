@@ -103,6 +103,60 @@ def test_meteor_lite_parameters():
     m = 5
     pen = lite.gamma * (1.0 / m) ** lite.beta
     assert score == pytest.approx(1.0 * (1 - pen))
-    # stem matching: "running" vs "runs" -> Porter stems "run"
+    # stem matching: "running" vs "runs" -> Porter stems "run"; stem
+    # matcher weight 0.6, single content word each side:
+    # P = R = 0.6, Fmean = 0.6, Pen = gamma * 1^beta = 0.6
     s = lite.sentence_score("running", ["runs"])
-    assert s > 0
+    assert s == pytest.approx(0.6 * (1 - 0.6))
+
+
+def _meteor_2005():
+    """The original METEOR configuration (Banerjee & Lavie 2005):
+    Fmean = 10PR/(R+9P) -> alpha=0.9; Pen = 0.5*(ch/m)^3 -> gamma=0.5,
+    beta=3; no content/function distinction (delta=0.5 makes the
+    weighting collapse to plain counts) and full-weight stems."""
+    return MeteorLite(alpha=0.9, beta=3.0, gamma=0.5, delta=0.5,
+                      w_exact=1.0, w_stem=1.0)
+
+
+def test_meteor_2005_paper_reordering_example():
+    """The paper's classic word-order example: all 6 words match, and the
+    chunk-minimizing alignment yields 3 chunks ("on the mat" / "sat" /
+    "the cat"), NOT the 6 chunks a greedy left-to-right first-match
+    alignment produces. P=R=1 -> Fmean=1; Pen=0.5*(3/6)^3=0.0625."""
+    m = _meteor_2005()
+    s = m.sentence_score("on the mat sat the cat",
+                         ["the cat sat on the mat"])
+    assert s == pytest.approx(1.0 * (1 - 0.5 * (3 / 6) ** 3))
+
+
+def test_meteor_2005_paper_insertion_example():
+    """ref 'the president spoke to the audience', hyp adds 'then':
+    m=6, P=6/7, R=1, chunks=2 ('the president' + 'spoke to the
+    audience'). Fmean=10PR/(R+9P)=60/61, Pen=0.5*(2/6)^3."""
+    m = _meteor_2005()
+    s = m.sentence_score("the president then spoke to the audience",
+                         ["the president spoke to the audience"])
+    fmean = (60 / 7) / (61 / 7)
+    pen = 0.5 * (2 / 6) ** 3
+    assert s == pytest.approx(fmean * (1 - pen))
+
+
+def test_meteor_15_delta_weighting():
+    """METEOR-1.5 content/function weighting: hyp 'a red chair' vs ref
+    'a big chair' — exact matches 'a' (function, weight 1-delta=0.25)
+    and 'chair' (content, delta=0.75): wsum=1.0 each side over
+    denominator 0.75*2+0.25*1=1.75; 2 chunks over 2 matches ->
+    Pen=gamma=0.6."""
+    lite = MeteorLite()
+    s = lite.sentence_score("a red chair", ["a big chair"])
+    p = 1.0 / 1.75
+    assert s == pytest.approx(p * (1 - 0.6))
+
+
+def test_meteor_lite_picks_best_reference():
+    lite = MeteorLite()
+    refs = ["completely unrelated words here", "sos the red chair eos"]
+    both = lite.sentence_score("sos the red chair eos", refs)
+    only = lite.sentence_score("sos the red chair eos", [refs[1]])
+    assert both == pytest.approx(only)

@@ -178,3 +178,40 @@ def test_mount_detector_into_full_model(setup):
     a = np.asarray(params["backbone_net"]["sa1"]["mlp_module"]["layer0"]["conv"]["kernel"])
     b = np.asarray(params2["backbone_net"]["sa1"]["mlp_module"]["layer0"]["conv"]["kernel"])
     assert not np.array_equal(a, b)
+
+
+def test_shard_batch_warns_on_nondivisible():
+    """A non-divisible batch replicates (graceful fallback) but must warn
+    once — a silent replication would quietly burn n_devices x the FLOPs
+    (round-2 advisor finding). SPACAP_STRICT_SHARDING=1 raises instead."""
+    import os
+    import warnings
+
+    import numpy as np
+    import pytest
+
+    from spacap3d_tpu.parallel import mesh as mesh_mod
+
+    mesh = make_mesh()
+    batch = {"x": np.zeros((mesh.shape["data"] + 1, 4), np.float32)}
+    mesh_mod._warned_replicated_batch = False
+    with pytest.warns(RuntimeWarning, match="does not divide"):
+        out = shard_batch(mesh, batch)
+    assert out["x"].sharding.is_fully_replicated
+    # only warns once
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        shard_batch(mesh, batch)
+    # strict mode raises
+    os.environ["SPACAP_STRICT_SHARDING"] = "1"
+    try:
+        with pytest.raises(ValueError, match="does not divide"):
+            shard_batch(mesh, batch)
+    finally:
+        del os.environ["SPACAP_STRICT_SHARDING"]
+    # divisible batches shard silently
+    good = {"x": np.zeros((mesh.shape["data"] * 2, 4), np.float32)}
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = shard_batch(mesh, good)
+    assert not out["x"].sharding.is_fully_replicated
