@@ -244,7 +244,14 @@ def bench_mul_eval_e2e(cfg, dc, num_scenes=141, num_seeds=4, batch_size=8):
     assert len(rows) == num_seeds
     import sys
     print(f"e2e phases: {timing}", file=sys.stderr)
-    return num_scenes * num_seeds / dt
+    # phase breakdown rides along in the JSON so a slow run can be
+    # attributed (host/tunnel interference vs regression): stream_s is
+    # the wall of the overlapped loader+device+postprocess pipeline,
+    # consume_s sums pool-thread time (includes device_get blocking, can
+    # exceed wall), score_s is the post-stream scoring tail.
+    timing["total_s"] = dt
+    timing["num_seeds"] = num_seeds
+    return num_scenes * num_seeds / dt, timing
 
 
 def main():
@@ -279,7 +286,7 @@ def main():
                                               n_iters=n_iters)
     train_sps, train_flops_per_sec, train_loss = bench_train(
         cfg, dc, params, state, n_iters=n_iters)
-    e2e_rows_per_sec = bench_mul_eval_e2e(
+    e2e_rows_per_sec, e2e_timing = bench_mul_eval_e2e(
         cfg, dc, num_scenes=6 if smoke else 141)
 
     print(json.dumps({
@@ -297,6 +304,8 @@ def main():
         "mul_eval_e2e_rows_per_sec": round(e2e_rows_per_sec, 3),
         "mul_eval_e2e_vs_baseline": round(
             e2e_rows_per_sec / BASELINE_EVAL_SCENES_PER_SEC, 2),
+        "mul_eval_e2e_phases": {k: round(v, 2) if isinstance(v, float) else v
+                                for k, v in e2e_timing.items()},
         "decode_dtype": cfg.eval_decode_dtype,
         "device_kind": getattr(dev, "device_kind", str(dev)),
         "peak_tflops_assumed": peak / 1e12,

@@ -21,8 +21,11 @@ import glob
 import os
 import re
 import subprocess
+import sys
 import tempfile
 from collections import defaultdict
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
 def capture(mode: str, outdir: str, smoke: bool, n_steps: int = 5) -> str:

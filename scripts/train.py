@@ -144,7 +144,11 @@ def build_configs(args):
         transformer_lr=args.transformer_lr, wd=args.wd, seed=args.seed,
         val_step=args.val_step, verbose=args.verbose, criterion=args.criterion,
         no_detection=args.no_detection, no_caption=args.no_caption,
-        use_relation=not args.no_relation,
+        # the relation head lives in the captioner, so --no_caption
+        # implies no relation loss (the reference would KeyError on
+        # 'relation_pred' in this combination — its pretrain runs pass
+        # --no_relation explicitly)
+        use_relation=not args.no_relation and not args.no_caption,
     )
     return RunConfig(model=model, train=train, data=data,
                      output_dir=args.output_dir, tag=args.tag)

@@ -75,12 +75,22 @@ class DataLoader:
         epoch = self.epoch
         self.epoch += 1
 
+        # non-augmented val datasets expose a cached fast path that is
+        # bit-identical to __getitem__ (dataset.getitem_cached): only the
+        # point subsample is RNG-dependent, so per-scene features build
+        # once — the serial mul_eval protocol and the solver's in-loop
+        # val reuse them across epochs/seeds
+        getter = getattr(self.dataset, "getitem_cached", None)
+        if getter is None or getattr(self.dataset.cfg, "augment", True) \
+                or getattr(self.dataset, "split", "train") == "train":
+            getter = self.dataset.__getitem__
+
         def build_item(args):
             i, idx = args
             rng = np.random.RandomState(
                 (self.seed * 2654435761 + epoch * 97 + int(idx)) % (2 ** 31)
             )
-            return self.dataset.__getitem__(int(idx), rng=rng)
+            return getter(int(idx), rng=rng)
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

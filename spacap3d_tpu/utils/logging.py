@@ -25,12 +25,19 @@ def decode_eta(seconds: float) -> Dict[str, int]:
 
 
 class RunLogger:
-    def __init__(self, root: str, use_tensorboard: bool = True):
+    def __init__(self, root: str, use_tensorboard: Optional[bool] = None):
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._fout = open(os.path.join(root, "log.txt"), "a")
         self._scalars = defaultdict(list)  # tag -> [(wall, step, value)]
         self._tb = {}
+        if use_tensorboard is None:
+            # Opt-in via SPACAP_TENSORBOARD=1: tensorboard's record writer
+            # blocks the training thread once its 20-event queue fills,
+            # and on slow/network filesystems each event write can cost
+            # >1 s — measured 1.4 s/event (~3 s/epoch) on the bench host.
+            # The full scalar history always lands in all_scalars.json.
+            use_tensorboard = os.environ.get("SPACAP_TENSORBOARD") == "1"
         if use_tensorboard:
             try:
                 from torch.utils.tensorboard import SummaryWriter
