@@ -286,6 +286,11 @@ def main():
                                               n_iters=n_iters)
     train_sps, train_flops_per_sec, train_loss = bench_train(
         cfg, dc, params, state, n_iters=n_iters)
+    # drop the train bench's leftovers (20 in-flight TrainState copies
+    # hold ~2.4 GB of HBM in reference cycles) before the e2e phase: with
+    # them alive the 1-core host's e2e stream measured ~2x slower
+    import gc
+    gc.collect()
     e2e_rows_per_sec, e2e_timing = bench_mul_eval_e2e(
         cfg, dc, num_scenes=6 if smoke else 141)
 
