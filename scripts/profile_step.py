@@ -158,6 +158,10 @@ def summarize(xplane_path: str, n_steps: int, top: int = 25):
     print(f"{'op family':58s} {'us/step':>9s}")
     for k, v in sorted(fam.items(), key=lambda kv: -kv[1])[:top]:
         print(f"{k[:58]:58s} {v / 1e6 / n_steps:9.0f}")
+    print(f"\n{'top individual ops':70s} {'us/step':>9s}")
+    for i, v in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
+        name = md_long.get(i, md_short.get(i, str(i)))
+        print(f"{name[:70]:70s} {v / 1e6 / n_steps:9.0f}")
 
 
 def main(argv=None):
