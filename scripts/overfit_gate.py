@@ -96,6 +96,7 @@ def main(argv=None):
         "--lr", str(args.lr), "--transformer_lr", str(args.transformer_lr),
         "--transformer_dropout", "0.0",
         "--no_augment",
+        "--ckpt_every", str(max(1, args.epochs // 10)),
         "--val_step", "1000000",       # no in-loop val: gate is the final eval
         "--verbose", str(max(1, args.epochs // 10)),
         "--num_workers", "2", "--seed", str(args.seed),

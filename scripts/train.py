@@ -38,6 +38,9 @@ def parse_args(argv=None):
     p.add_argument("--epoch", type=int, default=50)
     p.add_argument("--verbose", type=int, default=1000)
     p.add_argument("--val_step", type=int, default=2000)
+    p.add_argument("--ckpt_every", type=int, default=1,
+                   help="model_last.ckpt cadence in epochs (reference "
+                        "saves every epoch)")
     p.add_argument("--optimizer", type=str, default="adam")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--wd", type=float, default=1e-5)
@@ -143,6 +146,7 @@ def build_configs(args):
         batch_size=args.batch_size, epoch=args.epoch, lr=args.lr,
         transformer_lr=args.transformer_lr, wd=args.wd, seed=args.seed,
         val_step=args.val_step, verbose=args.verbose, criterion=args.criterion,
+        ckpt_every=args.ckpt_every,
         no_detection=args.no_detection, no_caption=args.no_caption,
         # the relation head lives in the captioner, so --no_caption
         # implies no relation loss (the reference would KeyError on

@@ -120,6 +120,10 @@ class TrainConfig:
     lr_decay_rate: float = 0.1
     bn_decay_step: int = 20
     bn_decay_rate: float = 0.5
+    # model_last.ckpt cadence in epochs (1 = the reference's every-epoch
+    # save, lib/solver.py:216-225; raise for many-epoch synthetic runs
+    # where the per-epoch host snapshot dominates)
+    ckpt_every: int = 1
 
 
 @dataclass(frozen=True)

@@ -172,8 +172,9 @@ class Solver:
                 self.logger.log(f"epoch {epoch + 1} starting...")
                 momentum = self.bn_momentum(epoch)
                 self._feed_epoch(epoch, rng, momentum, verbose, total_iters, t_start)
-                self._save("model_last.ckpt", epoch)
-                self._prev_snapshot = ("model_last.ckpt", epoch)
+                if (epoch + 1) % self.tc.ckpt_every == 0 or epoch == epochs - 1:
+                    self._save("model_last.ckpt", epoch)
+                    self._prev_snapshot = ("model_last.ckpt", epoch)
         except KeyboardInterrupt:
             self.logger.log("interrupted; saving previous-epoch snapshot...")
             self.ckpt.wait()

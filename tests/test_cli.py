@@ -108,3 +108,38 @@ def test_train_and_eval_cli(data_root, tmp_path):
     for oid, entry in preds.items():
         assert os.path.exists(os.path.join(
             vis_dir, f"pred-{oid}-{entry['object_name']}.ply"))
+
+
+def test_detection_pretrain_cli(data_root, tmp_path):
+    """--no_caption detection pretraining must run without --no_relation:
+    the relation head lives in the captioner, so the CLI disables the
+    relation loss itself (the reference KeyErrors on 'relation_pred' in
+    this flag combination — its pretrain runs pass --no_relation)."""
+    import train as train_cli
+
+    out_dir = str(tmp_path / "outputs")
+    train_cli.main([
+        "--data_root", data_root, "--output_dir", out_dir,
+        "--arch_preset", "tiny", "--num_points", "1024",
+        "--num_proposals", "16", "--batch_size", "4", "--epoch", "1",
+        "--val_step", "1000000", "--verbose", "1", "--num_workers", "1",
+        "--no_caption", "--no_augment", "--tag", "det",
+    ])
+    runs = os.listdir(out_dir)
+    assert len(runs) == 1
+    run_root = os.path.join(out_dir, runs[0])
+    assert os.path.exists(os.path.join(run_root, "model_last.ckpt"))
+    cfg = json.load(open(os.path.join(run_root, "config.json")))
+    assert cfg["train"]["no_caption"] is True
+    assert cfg["train"]["use_relation"] is False
+    assert cfg["data"]["augment"] is False
+
+    # detection-only eval consumes the pretrain checkpoint
+    import eval as eval_cli
+    eval_cli.main([
+        "--folder", runs[0], "--data_root", data_root,
+        "--output_dir", out_dir, "--batch_size", "4", "--num_workers", "1",
+        "--checkpoint", "model_last.ckpt", "--eval_tag", "det",
+        "--detection_only", "--min_iou", "0.05",
+    ])
+    assert os.path.exists(os.path.join(run_root, "det_results.csv"))
