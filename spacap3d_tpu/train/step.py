@@ -19,7 +19,9 @@ from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
+from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from spacap3d_tpu.config import ModelConfig, TrainConfig
@@ -63,9 +65,73 @@ def _param_labels(params, no_detection: bool):
     return labels
 
 
-def make_optimizer(params, tc: TrainConfig, steps_per_epoch: int):
+def _flat_group_tx(params, labels, chains) -> "optax.GradientTransformation":
+    """Run each label group's optax chain on ONE concatenated flat vector.
+
+    Adam / weight decay / LR scaling are elementwise, so concatenating a
+    group's leaves changes nothing numerically (updates are bit-identical
+    to per-leaf ``optax.multi_transform`` — asserted in
+    tests/test_train_e2e.py). What it changes is the compiled step: one
+    fused mu/nu/update kernel per group instead of a ~200-small-tensor
+    tail of per-leaf optimizer ops (the round-2 train-step profile showed
+    that tail costing several ms/step)."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    lab_leaves = jax.tree_util.tree_flatten(labels)[0]
+    shapes = [l.shape for l in leaves]
+    sizes = [int(np.prod(s)) if s else 1 for s in shapes]
+    dtypes = [l.dtype for l in leaves]
+
+    # one flat vector per (label, dtype); dtype in the key so concatenate
+    # never silently promotes a mixed-precision tree
+    group_idx: Dict[str, list] = {}
+    for i, lab in enumerate(lab_leaves):
+        if lab == "frozen" or chains.get(lab) is None:
+            continue
+        group_idx.setdefault(f"{lab}/{dtypes[i].name}", []).append(i)
+    groups = sorted(group_idx)
+
+    inner = optax.multi_transform(
+        {g: chains[g.split("/")[0]] for g in groups},
+        {g: g for g in groups},
+    )
+
+    def flatten(tree):
+        fl = jax.tree_util.tree_flatten(tree)[0]
+        return {
+            g: jnp.concatenate([fl[i].reshape(-1) for i in group_idx[g]])
+            for g in groups
+        }
+
+    def init(params):
+        return inner.init(flatten(params))
+
+    def update(grads, state, params=None):
+        uflat, new_state = inner.update(flatten(grads), state, flatten(params))
+        gl = jax.tree_util.tree_flatten(grads)[0]
+        out = [None] * len(gl)
+        for g in groups:
+            off = 0
+            for i in group_idx[g]:
+                out[i] = lax.slice_in_dim(uflat[g], off, off + sizes[i]).reshape(
+                    shapes[i]
+                )
+                off += sizes[i]
+        for i, leaf in enumerate(gl):
+            if out[i] is None:  # frozen group
+                out[i] = jnp.zeros_like(leaf)
+        return jax.tree_util.tree_unflatten(treedef, out), new_state
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_optimizer(params, tc: TrainConfig, steps_per_epoch: int,
+                   flat: bool = True):
     """Two-group Adam with torch-coupled weight decay and (detection
-    pretraining only) MultiStep LR decay."""
+    pretraining only) MultiStep LR decay.
+
+    ``flat=True`` (default) runs each group's chain on one concatenated
+    vector (see _flat_group_tx) — same updates, far fewer kernels.
+    ``flat=False`` is the per-leaf oracle used by the equality test."""
     if tc.no_caption and tc.lr_decay_step:
         bounds = {
             int(e) * steps_per_epoch: tc.lr_decay_rate for e in tc.lr_decay_step
@@ -81,15 +147,17 @@ def make_optimizer(params, tc: TrainConfig, steps_per_epoch: int):
             optax.scale_by_learning_rate(lr),  # includes the -1 sign flip
         )
 
-    tx = optax.multi_transform(
-        {
-            "base": adam_chain(base_sched),
-            "caption": adam_chain(tc.transformer_lr),
-            "frozen": optax.set_to_zero(),
-        },
-        _param_labels(params, tc.no_detection),
-    )
-    return tx
+    chains = {
+        "base": adam_chain(base_sched),
+        "caption": adam_chain(tc.transformer_lr),
+        "frozen": optax.set_to_zero(),
+    }
+    labels = _param_labels(params, tc.no_detection)
+    if flat:
+        return _flat_group_tx(
+            params, labels, {k: v for k, v in chains.items() if k != "frozen"}
+        )
+    return optax.multi_transform(chains, labels)
 
 
 def make_train_step(

@@ -78,6 +78,60 @@ def test_train_steps_reduce_loss(setup):
     )
 
 
+def test_flat_optimizer_matches_per_leaf(setup):
+    """The flat-grouped optimizer (one concatenated vector per param
+    group — see step._flat_group_tx) computes elementwise-identical
+    updates to the per-leaf optax.multi_transform oracle: bit-identical
+    eagerly; through a jitted train step XLA's per-fusion algebraic
+    rewrites (divide -> multiply-by-reciprocal etc.) may differ in the
+    last ulp, so there we pin near-equality (observed max rel ~3e-6
+    after 3 steps)."""
+    import optax
+
+    _, _, ds, vocab, dc, cfg, params, state = setup
+    tc = TrainConfig(batch_size=4, use_relation=True)
+
+    # eager: bit-identical params after 3 synthetic updates
+    grads = jax.tree_util.tree_map(
+        lambda x: jnp_like_normal(x), params)
+    eager = []
+    for flat in (True, False):
+        tx = make_optimizer(params, tc, steps_per_epoch=10, flat=flat)
+        st, p = tx.init(params), params
+        for _ in range(3):
+            u, st = tx.update(grads, st, p)
+            p = optax.apply_updates(p, u)
+        eager.append(p)
+    for a, b in zip(jax.tree_util.tree_leaves(eager[0]),
+                    jax.tree_util.tree_leaves(eager[1])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # jitted full train step: ONE step only — across steps Adam amplifies
+    # last-ulp input differences to full +-lr sign flips wherever g ~= 0,
+    # so multi-step param trajectories are not comparable at tight tols
+    dl = DataLoader(ds, batch_size=4, shuffle=False, num_workers=1)
+    batch = next(iter(dl))
+    results = []
+    for flat in (True, False):
+        tx = make_optimizer(params, tc, steps_per_epoch=10, flat=flat)
+        ts = init_train_state(params, state, tx)
+        step = make_train_step(cfg, tc, tx)
+        ts, _ = step(ts, batch, jax.random.PRNGKey(7), 0.1)
+        results.append(ts.params)
+    flat_leaves = jax.tree_util.tree_leaves(results[0])
+    leaf_leaves = jax.tree_util.tree_leaves(results[1])
+    assert len(flat_leaves) == len(leaf_leaves)
+    for a, b in zip(flat_leaves, leaf_leaves):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7)
+
+
+def jnp_like_normal(x):
+    import jax.numpy as jnp
+    key = jax.random.PRNGKey(x.size)
+    return jax.random.normal(key, x.shape, jnp.float32).astype(x.dtype) * 0.01
+
+
 def test_eval_cap_end_to_end(setup):
     _, anns, ds, vocab, dc, cfg, params, state = setup
     dl = DataLoader(ds, batch_size=4, shuffle=False, num_workers=1)
