@@ -215,7 +215,7 @@ def bench_mul_eval_e2e(cfg, dc, num_scenes=141, num_seeds=4, batch_size=8):
     bias[1] += 2.0
     params["proposal"]["conv2"]["bias"] = jnp.asarray(bias)
 
-    eval_step = make_eval_step(cfg)
+    eval_step = make_eval_step(cfg, compact=True)  # the grid-mode step
     corpus = prepare_corpus(anns)
     organized = organize_annotations(anns)
     seeds = list(range(num_seeds))

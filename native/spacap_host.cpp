@@ -250,3 +250,62 @@ int64_t greedy_nms(const double* lo /*n*dims*/, const double* hi,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// numpy-legacy MT19937 no-replacement subsample.
+//
+// random_sampling (utils/pc_utils.py:32-40 semantics) is
+// RandomState.choice(n, k, replace=False) == permutation(n)[:k], whose
+// Fisher-Yates shuffle draws n-1 bounded randoms from the legacy stream
+// — ~5 ms/scene in numpy (it is the per-row cost of the mul_eval grid).
+// This reimplements numpy's exact legacy pipeline (mt19937_next
+// tempering + randomkit rk_interval masked rejection, 32-bit path — n is
+// always < 2^32 here) directly on the RandomState's exported state:
+// `key` is mutated in place and the new `pos` returned, so Python
+// set_state() continues the stream bit-identically to numpy having run.
+
+static inline uint32_t mt_next32(uint32_t* key, int64_t* pos) {
+  if (*pos >= 624) {  // regenerate (numpy mt19937_gen)
+    for (int i = 0; i < 624; ++i) {
+      const uint32_t y =
+          (key[i] & 0x80000000u) | (key[(i + 1) % 624] & 0x7fffffffu);
+      key[i] = key[(i + 397) % 624] ^ (y >> 1) ^ ((y & 1u) ? 0x9908b0dfu : 0u);
+    }
+    *pos = 0;
+  }
+  uint32_t y = key[(*pos)++];
+  y ^= (y >> 11);
+  y ^= (y << 7) & 0x9d2c5680u;
+  y ^= (y << 15) & 0xefc60000u;
+  y ^= (y >> 18);
+  return y;
+}
+
+static inline uint32_t mt_interval(uint32_t maxv, uint32_t* key,
+                                   int64_t* pos) {
+  if (maxv == 0) return 0;
+  uint32_t mask = maxv;
+  mask |= mask >> 1; mask |= mask >> 2; mask |= mask >> 4;
+  mask |= mask >> 8; mask |= mask >> 16;
+  uint32_t value;
+  while ((value = (mt_next32(key, pos) & mask)) > maxv) {}
+  return value;
+}
+
+extern "C" {
+
+// permutation(n)[:k] on an exported RandomState (key[624], pos).
+// Returns the new pos; key is updated in place.
+int64_t mt_permutation_head(uint32_t* key, int64_t pos, int64_t n,
+                            int64_t k, int64_t* out) {
+  std::vector<int64_t> arr((size_t)n);
+  for (int64_t i = 0; i < n; ++i) arr[(size_t)i] = i;
+  for (int64_t i = n - 1; i >= 1; --i) {
+    const uint32_t j = mt_interval((uint32_t)i, key, &pos);
+    std::swap(arr[(size_t)i], arr[j]);
+  }
+  std::copy(arr.begin(), arr.begin() + k, out);
+  return pos;
+}
+
+}  // extern "C"

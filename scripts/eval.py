@@ -124,7 +124,9 @@ def main(argv=None):
     eff_batch = args.batch_size if grid_mode else min(args.batch_size, len(ds))
     n_dev = math.gcd(len(jax.devices()), eff_batch)
     mesh = make_mesh(jax.devices()[:n_dev]) if n_dev > 1 else None
-    eval_step = make_eval_step(model_cfg, mesh=mesh)
+    # grid mode never reads corners/centers on the host: the compact step
+    # fetches 4x fewer bytes per batch (the d2h pipe bounds e2e mul_eval)
+    eval_step = make_eval_step(model_cfg, mesh=mesh, compact=grid_mode)
     to_dev = (lambda b: shard_batch(mesh, b)) if mesh else None
 
     attn_dump_step = None

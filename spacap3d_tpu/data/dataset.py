@@ -44,8 +44,16 @@ from spacap3d_tpu.data.vocabulary import Vocabulary
 
 def random_sampling(n_points: int, num_sample: int, rng: np.random.RandomState):
     """Index choice matching utils/pc_utils.py:32-40 (replace only when
-    fewer points than samples)."""
+    fewer points than samples). The no-replace path (the common case —
+    scenes have >= num_points) runs through the native bit-exact MT19937
+    kernel when available (~10x the numpy permutation; this is the
+    per-row cost of the mul_eval grid), advancing ``rng``'s state
+    identically (pinned by tests/test_native.py)."""
     replace = n_points < num_sample
+    if not replace:
+        out = native.choice_noreplace_native(n_points, num_sample, rng)
+        if out is not None:
+            return out
     return rng.choice(n_points, num_sample, replace=replace)
 
 

@@ -61,6 +61,9 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.greedy_nms.restype = c64
     lib.greedy_nms.argtypes = [f64p, f64p, f64p, i64p, c64, c64,
                                ctypes.c_double, ctypes.c_double, c64, i64p]
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C")
+    lib.mt_permutation_head.restype = c64
+    lib.mt_permutation_head.argtypes = [u32p, c64, c64, c64, i64p]
     _lib = lib
     return lib
 
@@ -127,6 +130,26 @@ def points_in_boxes_native(pc, lo, hi, cap: int = 0):
     counts = np.empty(len(boxes), np.int32)
     lib.points_in_boxes(pc, len(pc), boxes, len(boxes), int(cap), counts)
     return counts
+
+
+def choice_noreplace_native(n: int, k: int,
+                            rng: "np.random.RandomState"):
+    """Bit-exact RandomState.choice(n, k, replace=False) in C++
+    (= permutation(n)[:k], numpy's legacy pipeline — see
+    spacap_host.cpp::mt_permutation_head). Runs on the RandomState's own
+    exported MT19937 state and writes the advanced state back, so
+    subsequent draws from ``rng`` continue exactly as if numpy had run
+    the shuffle. Returns None when the library is unavailable (caller
+    falls back to numpy)."""
+    lib = _load()
+    if lib is None or k > n:
+        return None
+    kind, key, pos, has_gauss, cached = rng.get_state()
+    key = np.ascontiguousarray(key, np.uint32)
+    out = np.empty(k, np.int64)
+    new_pos = lib.mt_permutation_head(key, int(pos), int(n), int(k), out)
+    rng.set_state((kind, key, int(new_pos), has_gauss, cached))
+    return out
 
 
 def greedy_nms_native(lo, hi, cls, order, thresh, union_eps):

@@ -173,16 +173,26 @@ def _nms_old(lo, hi, score, thresh):
 
 def _pred_mask(ep: Dict[str, np.ndarray], config: Dict):
     """Shared NMS/empty-box stage of prediction parsing. Writes
-    ep['pred_mask'] and returns (pred_mask, corners, sem_cls, sem_probs,
-    obj_prob)."""
-    corners = np.asarray(ep["bbox_corner"])              # (B, K, 8, 3)
-    bsize, k = corners.shape[:2]
+    ep['pred_mask'] and returns (pred_mask, box_lo, box_hi, corners,
+    sem_cls, sem_probs, obj_prob).
+
+    Every decision below consumes only the axis-aligned extents, so a
+    compact eval step (train/step.py, compact=True) ships ``bbox_lo``/
+    ``bbox_hi`` instead of the 4x bigger 8-corner tensor; min/max are
+    exact, so the decisions are bit-identical either way (``corners`` is
+    None in that case)."""
+    corners = ep.get("bbox_corner")
+    if corners is not None:
+        corners = np.asarray(corners)                    # (B, K, 8, 3)
+        box_lo = corners.min(axis=2)                     # (B, K, 3)
+        box_hi = corners.max(axis=2)
+    else:
+        box_lo = np.asarray(ep["bbox_lo"])
+        box_hi = np.asarray(ep["bbox_hi"])
+    bsize, k = box_lo.shape[:2]
     sem_cls = np.asarray(ep["sem_cls"])                  # (B, K)
     sem_probs = softmax_np(np.asarray(ep["sem_cls_scores"]))
     obj_prob = softmax_np(np.asarray(ep["objectness_scores"]))[:, :, 1]
-
-    box_lo = corners.min(axis=2)                         # (B, K, 3)
-    box_hi = corners.max(axis=2)
 
     nonempty = np.ones((bsize, k), bool)
     if config.get("remove_empty_box", False):
@@ -230,14 +240,17 @@ def _pred_mask(ep: Dict[str, np.ndarray], config: Dict):
         assert len(pick) > 0
         pred_mask[i, idx[pick]] = 1
     ep["pred_mask"] = pred_mask
-    return pred_mask, corners, sem_cls, sem_probs, obj_prob
+    return pred_mask, box_lo, box_hi, corners, sem_cls, sem_probs, obj_prob
 
 
 def parse_predictions(ep: Dict[str, np.ndarray], config: Dict) -> List[List[Tuple]]:
     """reference lib/ap_helper.py:44-160. ``ep`` values are host numpy
     arrays. Writes ep['pred_mask'] and returns batch_pred_map_cls as
-    per-scan lists of (class, corners, score) tuples."""
-    pred_mask, corners, sem_cls, sem_probs, obj_prob = _pred_mask(ep, config)
+    per-scan lists of (class, corners, score) tuples. Requires the full
+    ``bbox_corner`` tensor (the reference tuple layout carries corners);
+    compact eval outputs go through parse_predictions_arrays."""
+    pred_mask, _, _, corners, sem_cls, sem_probs, obj_prob = _pred_mask(ep, config)
+    assert corners is not None, "parse_predictions needs ep['bbox_corner']"
     bsize, k = pred_mask.shape
     conf_thresh = config.get("conf_thresh", 0.05)
     num_class = config["dataset_config"].num_class
@@ -265,8 +278,14 @@ def parse_predictions_arrays(ep: Dict[str, np.ndarray], config: Dict) -> List[Di
     expansion is class-major exactly like the tuple layout (the reference
     appends all of class 0, then class 1, ... lib/ap_helper.py:137-146),
     so downstream sorting/decisions are identical. Avoids building ~2k
-    tuples per scan on the eval hot path."""
-    pred_mask, corners, sem_cls, sem_probs, obj_prob = _pred_mask(ep, config)
+    tuples per scan on the eval hot path.
+
+    Boxes come out as axis-aligned extents ('lo'/'hi'), which is all the
+    AP pipeline consumes (_eval_det_cls_core; heading is always 0) —
+    this also lets the compact eval step skip fetching 8-corner tensors
+    from the device entirely."""
+    pred_mask, box_lo, box_hi, _, sem_cls, sem_probs, obj_prob = _pred_mask(
+        ep, config)
     bsize = pred_mask.shape[0]
     conf_thresh = config.get("conf_thresh", 0.05)
     num_class = config["dataset_config"].num_class
@@ -277,14 +296,16 @@ def parse_predictions_arrays(ep: Dict[str, np.ndarray], config: Dict) -> List[Di
         if config.get("per_class_proposal", True):
             # (class-major, keep-minor) = tuple layout
             cls = np.repeat(np.arange(num_class), nk)
-            crn = np.tile(corners[i, keep], (num_class, 1, 1))
+            lo = np.tile(box_lo[i, keep], (num_class, 1))
+            hi = np.tile(box_hi[i, keep], (num_class, 1))
             conf = (sem_probs[i, keep, :num_class] * obj_prob[i, keep, None]
                     ).T.reshape(-1)
         else:
             cls = sem_cls[i, keep].astype(np.int64)
-            crn = corners[i, keep]
+            lo = box_lo[i, keep]
+            hi = box_hi[i, keep]
             conf = obj_prob[i, keep]
-        out.append({"cls": cls, "corners": crn, "conf": conf})
+        out.append({"cls": cls, "lo": lo, "hi": hi, "conf": conf})
     return out
 
 
@@ -444,8 +465,8 @@ def eval_det_cls(pred: Dict, gt: Dict, ovthresh=0.25, use_07_metric=False):
 
 
 def _normalize_pred_scan(entry):
-    """A scan's predictions -> {'cls','corners','conf'} arrays; accepts
-    the tuple-list form or the already-array form."""
+    """A scan's predictions -> {'cls','corners'|'lo'+'hi','conf'} arrays;
+    accepts the tuple-list form or the already-array form."""
     if isinstance(entry, dict):
         return entry
     if len(entry) == 0:
@@ -456,6 +477,17 @@ def _normalize_pred_scan(entry):
     corners = np.stack([np.asarray(b) for _, b, _ in entry])
     conf = np.array([s for _, _, s in entry])
     return {"cls": cls, "corners": corners, "conf": conf}
+
+
+def _scan_extents(e):
+    """Axis-aligned (min, max) float64 extents of a normalized scan entry
+    — from precomputed 'lo'/'hi' (compact path) or the 8-corner tensor.
+    min/max commute with the float64 cast, so both forms are
+    bit-identical."""
+    if "lo" in e:
+        return np.asarray(e["lo"], float), np.asarray(e["hi"], float)
+    crn = np.asarray(e["corners"], float)
+    return crn.min(axis=1), crn.max(axis=1)
 
 
 def _normalize_gt_scan(entry):
@@ -494,11 +526,11 @@ def eval_det(pred_all: Dict, gt_all: Dict, ovthresh=0.25, use_07_metric=False,
         e = _normalize_pred_scan(pred_all[s])
         n = len(e["cls"])
         if n:
-            crn = np.asarray(e["corners"], float)
+            mn, mx = _scan_extents(e)
             d_img.append(np.full(n, scan_index[s], np.int64))
             d_cls.append(np.asarray(e["cls"], np.int64))
-            d_mn.append(crn.min(axis=1))
-            d_mx.append(crn.max(axis=1))
+            d_mn.append(mn)
+            d_mx.append(mx)
             d_conf.append(np.asarray(e["conf"]))
     g_img, g_cls, g_mn, g_mx = [], [], [], []
     extra_scans = 0
@@ -514,11 +546,11 @@ def eval_det(pred_all: Dict, gt_all: Dict, ovthresh=0.25, use_07_metric=False,
             # count in npos (no detection can ever match them)
             img = len(scan_index) + extra_scans
             extra_scans += 1
-        crn = np.asarray(e["corners"], float)
+        mn, mx = _scan_extents(e)
         g_img.append(np.full(n, img, np.int64))
         g_cls.append(np.asarray(e["cls"], np.int64))
-        g_mn.append(crn.min(axis=1))
-        g_mx.append(crn.max(axis=1))
+        g_mn.append(mn)
+        g_mx.append(mx)
 
     def cat(parts, shape, dtype=float):
         return np.concatenate(parts) if parts else np.zeros(shape, dtype)

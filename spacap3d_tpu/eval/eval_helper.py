@@ -115,9 +115,12 @@ def postprocess_batch(out: Dict, batch: Dict, post: Dict, min_iou: float,
     assigned_corners = np.take_along_axis(
         gt_corners, assign[:, :, None, None], axis=1
     )                                                           # (B, K, 8, 3)
-    det_corners = out["bbox_corner"]
     mn1, mx1 = assigned_corners.min(2), assigned_corners.max(2)
-    mn2, mx2 = det_corners.min(2), det_corners.max(2)
+    if "bbox_corner" in out:
+        det_corners = out["bbox_corner"]
+        mn2, mx2 = det_corners.min(2), det_corners.max(2)
+    else:  # compact eval step: extents precomputed in-device (exact)
+        mn2, mx2 = out["bbox_lo"], out["bbox_hi"]
     inter = np.prod(np.maximum(np.minimum(mx1, mx2) - np.maximum(mn1, mn2), 0), -1)
     v1 = np.prod(mx1 - mn1, -1)
     v2 = np.prod(mx2 - mn2, -1)

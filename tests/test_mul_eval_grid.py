@@ -94,6 +94,11 @@ def test_grid_pads_and_orders(setup):
 def test_grid_metrics_equal_serial(setup):
     ds, vocab, dc, anns, cfg, params, state = setup
     eval_step = make_eval_step(cfg)
+    # the grid runs the COMPACT step (lo/hi extents, u16 tokens, minimal
+    # fetch set) while the serial protocol path runs the full step —
+    # per-seed equality below therefore also pins compact-vs-full
+    # decision bit-identity
+    grid_step = make_eval_step(cfg, compact=True)
 
     # min_iou low enough that random-init detections produce real,
     # seed-dependent candidates (at 0.5 nothing survives and every seed
@@ -120,7 +125,7 @@ def test_grid_metrics_equal_serial(setup):
     # batch 4 deliberately != len(ds): rows from different seeds share
     # batches and the final batch is padded
     grid_rows = mul_eval_grid(
-        eval_step, params, state, ds, vocab, dc, corpus, organized,
+        grid_step, params, state, ds, vocab, dc, corpus, organized,
         SEEDS, batch_size=4, min_iou=min_iou, also_detection=True,
         num_workers=1, score_workers=1,
     )

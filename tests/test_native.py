@@ -84,3 +84,49 @@ def test_native_greedy_nms_matches_numpy():
                 assert a == b, (trial, use_cls is not None)
     finally:
         dn.greedy_nms_native = orig
+
+
+def test_native_choice_noreplace_bit_exact_and_stream_continuation():
+    """choice_noreplace_native must equal RandomState.choice(n, k,
+    replace=False) bit-for-bit (same Fisher-Yates draws from the same
+    MT19937 stream, incl. the rejection loop), AND leave the RandomState
+    advanced identically — later draws of any kind must match a numpy-
+    only twin. Covers fresh and mid-block states, block regeneration
+    (n > 624 draws), and the power-of-two mask edges."""
+    from spacap3d_tpu.data import native as dn
+
+    if dn._load() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+
+    for seed in (0, 1, 42, 2**31 - 1, 987654321):
+        for n, k in ((50000, 40000), (40001, 40000), (1, 1), (5, 3),
+                     (256, 256), (257, 10), (700, 700), (2000, 1)):
+            r_np = np.random.RandomState(seed)
+            r_nat = np.random.RandomState(seed)
+            burn = seed % 701
+            r_np.random_sample(burn)
+            r_nat.random_sample(burn)
+            a = r_np.choice(n, k, replace=False)
+            b = dn.choice_noreplace_native(n, k, r_nat)
+            np.testing.assert_array_equal(a, b)
+            np.testing.assert_array_equal(r_np.random_sample(7),
+                                          r_nat.random_sample(7))
+            np.testing.assert_array_equal(r_np.randint(0, 999, 5),
+                                          r_nat.randint(0, 999, 5))
+
+
+def test_random_sampling_uses_native_and_matches_numpy():
+    """dataset.random_sampling routes through the native kernel and is
+    bit-identical to the pure-numpy expression of the reference's
+    utils/pc_utils.py:32-40 (both replace modes)."""
+    from spacap3d_tpu.data.dataset import random_sampling
+
+    r1, r2 = np.random.RandomState(9), np.random.RandomState(9)
+    a = random_sampling(5000, 4000, r1)
+    b = r2.choice(5000, 4000, replace=False)
+    np.testing.assert_array_equal(a, b)
+    # replace=True fallback (fewer points than samples)
+    a = random_sampling(100, 128, r1)
+    b = r2.choice(100, 128, replace=True)
+    np.testing.assert_array_equal(a, b)
