@@ -112,50 +112,90 @@ class Bleu:
 # CIDEr
 # -----------------------------------------------------------------------------
 
+def _cider_counts2vec(cnts: Counter, df: Dict, ref_len: float, n: int):
+    vec = [defaultdict(float) for _ in range(n)]
+    norm = [0.0] * n
+    length = 0
+    for ng, tf in cnts.items():
+        idf = ref_len - np.log(max(1.0, df[ng]))
+        k = len(ng) - 1
+        vec[k][ng] = float(tf) * idf
+        norm[k] += vec[k][ng] ** 2
+        if k == 1:          # quirk: "length" counts bigrams
+            length += tf
+    return vec, [math.sqrt(x) for x in norm], length
+
+
+class CiderRefs:
+    """Seed-invariant reference-side CIDEr state for a fixed corpus:
+    per-key reference ngram counts, document frequencies, and per-ref
+    TF-IDF vectors/norms/lengths. The 100-seed mul_eval grid scores the
+    SAME corpus once per seed; precomputing these once and passing
+    ``Cider(refs=...)`` reuses identical intermediate values (identical
+    expressions on identical inputs — scores are bit-equal, pinned by
+    tests/test_capeval.py) and removes most of the per-seed CIDEr cost."""
+
+    def __init__(self, gts: Dict, n: int = 4):
+        self.n = n
+        self.keys = list(gts.keys())
+        self.crefs = [[_ngrams(r.split(), n) for r in gts[k]]
+                      for k in self.keys]
+        df: Dict = defaultdict(float)
+        for refs in self.crefs:
+            for ng in set(ng for ref in refs for ng in ref):
+                df[ng] += 1.0
+        self.df = df
+        self.ref_len = np.log(float(len(self.crefs)))
+        self.ref_vecs = [
+            [_cider_counts2vec(ref, df, self.ref_len, n) for ref in refs]
+            for refs in self.crefs
+        ]
+
+
 class Cider:
-    def __init__(self, n: int = 4, sigma: float = 6.0):
+    def __init__(self, n: int = 4, sigma: float = 6.0,
+                 refs: "CiderRefs | None" = None):
         self.n = n
         self.sigma = sigma
+        self.refs = refs
 
     def compute_score(self, gts: Dict, res: Dict):
         assert gts.keys() == res.keys()
         keys = list(gts.keys())
         n, sigma = self.n, self.sigma
 
-        crefs = [[_ngrams(r.split(), n) for r in gts[k]] for k in keys]
+        if self.refs is not None and self.refs.n == n \
+                and self.refs.keys == keys:
+            crefs, df, ref_len = self.refs.crefs, self.refs.df, self.refs.ref_len
+            ref_vecs = self.refs.ref_vecs
+        else:
+            crefs = [[_ngrams(r.split(), n) for r in gts[k]] for k in keys]
+            # document frequency over reference sets
+            df = defaultdict(float)
+            for refs in crefs:
+                for ng in set(ng for ref in refs for ng in ref):
+                    df[ng] += 1.0
+            ref_len = np.log(float(len(crefs)))
+            ref_vecs = [
+                [_cider_counts2vec(ref, df, ref_len, n) for ref in refs]
+                for refs in crefs
+            ]
+
         ctests = [_ngrams(res[k][0].split(), n) for k in keys]
-
-        # document frequency over reference sets
-        df: Dict = defaultdict(float)
-        for refs in crefs:
-            for ng in set(ng for ref in refs for ng in ref):
-                df[ng] += 1.0
-        ref_len = np.log(float(len(crefs)))
-
-        def counts2vec(cnts: Counter):
-            vec = [defaultdict(float) for _ in range(n)]
-            norm = [0.0] * n
-            length = 0
-            for ng, tf in cnts.items():
-                idf = ref_len - np.log(max(1.0, df[ng]))
-                k = len(ng) - 1
-                vec[k][ng] = float(tf) * idf
-                norm[k] += vec[k][ng] ** 2
-                if k == 1:          # quirk: "length" counts bigrams
-                    length += tf
-            return vec, [math.sqrt(x) for x in norm], length
-
         scores = []
-        for test, refs in zip(ctests, crefs):
-            vec, norm, length = counts2vec(test)
+        for test, rvecs, refs in zip(ctests, ref_vecs, crefs):
+            vec, norm, length = _cider_counts2vec(test, df, ref_len, n)
             score = np.zeros(n)
-            for ref in refs:
-                vref, nref, lref = counts2vec(ref)
+            for vref, nref, lref in rvecs:
                 delta = float(length - lref)
                 val = np.zeros(n)
                 for k in range(n):
                     for ng in vec[k]:
-                        val[k] += min(vec[k][ng], vref[k][ng]) * vref[k][ng]
+                        # .get (not defaultdict access): identical value,
+                        # but never inserts zeros into the shared cached
+                        # reference vectors
+                        rv = vref[k].get(ng, 0.0)
+                        val[k] += min(vec[k][ng], rv) * rv
                     if norm[k] != 0 and nref[k] != 0:
                         val[k] /= norm[k] * nref[k]
                     val[k] *= math.exp(-(delta ** 2) / (2 * sigma ** 2))

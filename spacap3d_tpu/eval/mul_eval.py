@@ -135,11 +135,11 @@ def _score_seed(args):
     seed's candidate set is complete long before the stream ends and its
     scoring (~1 s: python capeval + the vectorized array AP) hides behind
     the remaining seeds' device work."""
-    corpus, candidates, meteor_jar, ap_state, class2type = args
+    corpus, candidates, meteor_jar, ap_state, class2type, cider_refs = args
     candidates = check_candidates(corpus, dict(candidates))
     candidates = organize_candidates(corpus, candidates)
     bleu = capeval.Bleu(4).compute_score(corpus, candidates)
-    cider = capeval.Cider().compute_score(corpus, candidates)
+    cider = capeval.Cider(refs=cider_refs).compute_score(corpus, candidates)
     rouge = capeval.Rouge().compute_score(corpus, candidates)
     meteor = capeval.Meteor(meteor_jar).compute_score(corpus, candidates)
     metrics = {
@@ -206,13 +206,16 @@ def mul_eval_grid(
     seed_done_rows = {s: 0 for s in seeds}
     score_pool = ThreadPoolExecutor(max_workers=max(1, score_workers))
     score_futures: Dict[int, object] = {}
+    # reference-side CIDEr state is seed-invariant: build once, reuse in
+    # every seed's scoring pass (bit-equal scores — see capeval.CiderRefs)
+    cider_refs = capeval.CiderRefs(corpus)
 
     def _submit_seed(seed):
         """Seed complete: score it now, overlapped with the stream."""
         args = (corpus, candidates[seed], meteor_jar,
                 (ap_calcs[seed].pred_map_cls, ap_calcs[seed].gt_map_cls)
                 if also_detection else None,
-                dc.class2type)
+                dc.class2type, cider_refs)
         score_futures[seed] = score_pool.submit(_score_seed, args)
 
     def consume(batch, out):

@@ -86,3 +86,34 @@ def test_meteor_dispatch_flags_fallback():
     m = Meteor()
     # jar is absent in this environment -> must flag non-parity fallback
     assert isinstance(m.is_exact, bool)
+
+
+def test_cider_ref_cache_bit_equal():
+    """Cider(refs=CiderRefs(gts)) must produce bit-identical scores to a
+    fresh Cider() — the cache only reuses identical intermediate values
+    (the mul_eval grid scores the same corpus once per seed). Also: a
+    second scoring pass with DIFFERENT candidates through the same cache
+    must still match fresh (the cached ref vectors are never mutated)."""
+    from spacap3d_tpu.eval.capeval import Cider, CiderRefs
+
+    rng = np.random.RandomState(4)
+    words = ["a", "red", "chair", "by", "the", "wall", "big", "sos", "eos"]
+
+    def sent(k):
+        return "sos " + " ".join(rng.choice(words, k)) + " eos"
+
+    gts = {f"k{i}": [sent(rng.randint(3, 12)) for _ in range(rng.randint(1, 4))]
+           for i in range(60)}
+    refs = CiderRefs(gts)
+    for trial in range(3):
+        res = {k: [sent(rng.randint(2, 12))] for k in gts}
+        m_fresh, s_fresh = Cider().compute_score(gts, res)
+        m_cached, s_cached = Cider(refs=refs).compute_score(gts, res)
+        assert m_fresh == m_cached
+        np.testing.assert_array_equal(s_fresh, s_cached)
+    # key mismatch falls back to fresh computation (no wrong reuse)
+    sub = {k: gts[k] for k in list(gts)[:30]}
+    res = {k: [sent(5)] for k in sub}
+    m_sub, _ = Cider(refs=refs).compute_score(sub, res)
+    m_ref, _ = Cider().compute_score(sub, res)
+    assert m_sub == m_ref
