@@ -170,12 +170,18 @@ def main(argv=None):
         else:
             corpus = prepare_corpus(val_anns)
             json.dump(corpus, open(corpus_cache, "w"), indent=4)
+        table_put = None
+        if mesh:
+            from jax.sharding import NamedSharding, PartitionSpec
+            repl = NamedSharding(mesh, PartitionSpec())
+            table_put = lambda x: jax.device_put(x, repl)  # noqa: E731
         rows = mul_eval_grid(
             eval_step, params, state, ds, vocab, dc, corpus,
             organize_annotations(val_anns), list(seeds), eff_batch,
             min_iou=args.min_iou,
             also_detection=not args.no_detection_eval,
-            batch_to_device=to_dev, num_workers=args.num_workers,
+            batch_to_device=to_dev, table_to_device=table_put,
+            num_workers=args.num_workers,
             progress=lambda i, n: print(f"\rgrid batch {i}/{n}", end="",
                                         flush=True),
         )

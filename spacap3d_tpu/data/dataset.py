@@ -216,7 +216,8 @@ class ScanReferDataset:
             )
         return np.ascontiguousarray(point_cloud, np.float64)
 
-    def getitem_cached(self, idx: int, rng: np.random.RandomState):
+    def getitem_cached(self, idx: int, rng: np.random.RandomState,
+                       with_points: bool = True):
         """Fast eval-path item build: everything except the random point
         subsample is deterministic per index on non-augmented val items
         (the RNG's only consumer is ``random_sampling``), so the assembled
@@ -225,7 +226,14 @@ class ScanReferDataset:
         This is what makes the 100-seed mul_eval grid cheap: the reference
         rebuilds the whole item per seed (scripts/eval.py:456-460 reseeds,
         lib/dataset.py:291-531 recomputes). Bit-identical to
-        ``__getitem__`` (pinned by tests/test_mul_eval.py)."""
+        ``__getitem__`` (pinned by tests/test_mul_eval.py).
+
+        ``with_points=False`` skips the host row-gather and returns the
+        subsample indices as ``pc_choices`` (int32) instead of
+        ``point_clouds`` — the device-resident point-table mul_eval path
+        gathers the same rows on-device from the f32 scene table
+        (see ``full_cloud_f32``; cast and row-select commute elementwise,
+        so the gathered rows are bit-identical to the host path)."""
         assert not self.cfg.augment and self.split != "train", (
             "getitem_cached requires a deterministic (no-augment, non-train)"
             " item; use __getitem__"
@@ -253,10 +261,31 @@ class ScanReferDataset:
         full_pc, template = cache
         choices = random_sampling(full_pc.shape[0], self.cfg.num_points, rng)
         item = dict(template)
-        item["point_clouds"] = native.gather_rows(full_pc, choices).astype(
-            np.float32
-        )
+        if with_points:
+            item["point_clouds"] = native.gather_rows(full_pc, choices).astype(
+                np.float32
+            )
+        else:
+            dt = (np.uint16 if full_pc.shape[0] <= np.iinfo(np.uint16).max
+                  else np.int32)
+            item["pc_choices"] = np.ascontiguousarray(choices, dt)
         return item
+
+    def full_cloud_f32(self, idx: int) -> np.ndarray:
+        """The assembled full-resolution cloud for item ``idx`` as float32
+        (the dtype shipped to the device). Populates / reuses the same
+        per-index cache as ``getitem_cached``."""
+        if idx not in self._eval_cache:
+            self.getitem_cached(idx, np.random.RandomState(0),
+                                with_points=False)
+        cache = self._eval_cache.get(idx)
+        if cache is None:  # per-index cache over budget: assemble directly
+            full_pc = self._assemble_full_cloud(
+                self.scenes[self.annotations[idx]["scene_id"]]
+            )
+        else:
+            full_pc = cache[0]
+        return full_pc.astype(np.float32)
 
     def __getitem__(self, idx: int, rng: Optional[np.random.RandomState] = None):
         if rng is None:

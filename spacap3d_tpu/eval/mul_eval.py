@@ -55,13 +55,18 @@ class GridLoader:
 
     def __init__(self, dataset, seeds: Sequence[int], batch_size: int,
                  num_workers: int = 8, prefetch: int = 4,
-                 keys: Optional[Sequence[str]] = None):
+                 keys: Optional[Sequence[str]] = None,
+                 indices_mode: bool = False):
         self.dataset = dataset
         self.seeds = list(seeds)
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.keys = keys
+        # indices_mode: items carry `pc_choices` (the per-seed subsample
+        # indices) instead of `point_clouds` — the device-resident
+        # point-table path (requires the cached val-item getter)
+        self.indices_mode = indices_mode
 
     def __len__(self):
         n = len(self.seeds) * len(self.dataset)
@@ -89,9 +94,18 @@ class GridLoader:
         # point subsample per seed) is bit-identical to __getitem__ for
         # non-augmented val items — pinned by the grid-vs-serial test
         getter = getattr(self.dataset, "getitem_cached", None)
-        if getter is None or getattr(self.dataset.cfg, "augment", False) \
-                or getattr(self.dataset, "split", "val") == "train":
+        cached_ok = not (
+            getter is None or getattr(self.dataset.cfg, "augment", False)
+            or getattr(self.dataset, "split", "val") == "train"
+        )
+        if not cached_ok:
+            if self.indices_mode:
+                raise ValueError(
+                    "GridLoader(indices_mode=True) requires the cached "
+                    "val-item path (non-augmented, non-train dataset)"
+                )
             getter = self.dataset.__getitem__
+        indices_mode = self.indices_mode
 
         def build_item(pair):
             seed, idx = int(pair[0]), int(pair[1])
@@ -100,6 +114,8 @@ class GridLoader:
             rng = np.random.RandomState(
                 (seed * 2654435761 + idx) % (2 ** 31)
             )
+            if indices_mode:
+                return getter(idx, rng=rng, with_points=False)
             return getter(idx, rng=rng)
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -127,6 +143,64 @@ class GridLoader:
                 yield batch
         finally:
             stop.set()
+
+
+def _build_point_tables(dataset, table_to_device=None, budget=None):
+    """Device-resident per-scene tables for the indices-mode grid stream.
+
+    Returns ``(point_table, center_table, row_of_idx)`` — the padded
+    (num_scenes, N_max, C) float32 cloud table, the (num_scenes, M, 3)
+    GT-center table, and the item-index -> scene-row map — or ``None``
+    when the dataset can't use the cached val-item path or the padded
+    table would exceed the HBM budget (``SPACAP_POINT_TABLE_BYTES``,
+    default 4 GiB).
+
+    Both tables are keyed by unique scene: the full cloud and
+    ``center_label`` are functions of the scene alone on non-augmented
+    val items (dataset.py::_assemble_full_cloud /
+    ``target_bboxes[:, 0:3]``). Upload happens ONCE; thereafter each
+    grid row ships only its uint16 subsample indices (~8x less
+    host->device traffic than the 40k x C f32 cloud, which bounds the
+    e2e pipeline through a remote-attached TPU)."""
+    import os
+
+    getter = getattr(dataset, "getitem_cached", None)
+    if (getter is None or getattr(dataset.cfg, "augment", False)
+            or getattr(dataset, "split", "val") == "train"
+            or len(dataset) == 0):
+        return None
+    if budget is None:
+        budget = int(os.environ.get("SPACAP_POINT_TABLE_BYTES", 4 << 30))
+
+    scene_ids = [dataset.annotations[i]["scene_id"]
+                 for i in range(len(dataset))]
+    first_idx: Dict[str, int] = {}
+    for i, sid in enumerate(scene_ids):
+        first_idx.setdefault(sid, i)
+    uniq = list(first_idx)
+    row_of_scene = {sid: r for r, sid in enumerate(uniq)}
+    row_of_idx = np.array([row_of_scene[s] for s in scene_ids], np.int32)
+
+    clouds = [dataset.full_cloud_f32(first_idx[sid]) for sid in uniq]
+    n_max = max(c.shape[0] for c in clouds)
+    channels = clouds[0].shape[1]
+    if len(uniq) * n_max * channels * 4 > budget:
+        return None
+    table = np.zeros((len(uniq), n_max, channels), np.float32)
+    centers = None
+    for r, (sid, c) in enumerate(zip(uniq, clouds)):
+        table[r, :c.shape[0]] = c
+        tmpl = dataset.getitem_cached(
+            first_idx[sid], np.random.RandomState(0), with_points=False
+        )
+        if centers is None:
+            centers = np.zeros(
+                (len(uniq),) + tmpl["center_label"].shape, np.float32
+            )
+        centers[r] = tmpl["center_label"]
+    put = table_to_device if table_to_device is not None \
+        else _jax.device_put
+    return put(table), put(centers), row_of_idx
 
 
 def _score_seed(args):
@@ -172,13 +246,26 @@ def mul_eval_grid(
     score_workers: int = 8,
     progress=None,
     timing_out: Optional[Dict] = None,
+    point_table: str = "auto",
+    table_to_device=None,
 ) -> List[Dict]:
     """Returns one metrics row per seed (reference CSV layout).
 
     ``timing_out``: optional dict filled with phase wall-clocks
-    ({'stream_s': loader+device+postprocess overlap, 'consume_s': summed
-    host post-processing time across pool threads, 'score_s': per-seed
-    capeval+AP scoring})."""
+    ({'table_s': one-time point-table build+upload, 'stream_s':
+    loader+device+postprocess overlap, 'consume_s': summed host
+    post-processing time across pool threads, 'score_s': per-seed
+    capeval+AP scoring}).
+
+    ``point_table``: 'auto' (default) keeps the per-scene clouds
+    device-resident and ships only uint16 subsample indices per row
+    (falls back to per-row cloud upload when the dataset can't use the
+    cached val path or the table exceeds the HBM budget); 'off' forces
+    the per-row upload. Rows are bit-identical either way (f64->f32
+    cast and row-select commute elementwise) — pinned by the
+    grid-vs-serial equality test. ``table_to_device`` places the tables
+    (pass a replicating device_put on a mesh; default single-device
+    jax.device_put)."""
     import time as _time
     post = dict(POST_DICT_DEFAULTS, dataset_config=dc)
     candidates: Dict[int, Dict[str, List[str]]] = {s: {} for s in seeds}
@@ -189,17 +276,24 @@ def mul_eval_grid(
         if also_detection else {}
     )
 
+    _table_t0 = _time.perf_counter()
+    tables = (_build_point_tables(dataset, table_to_device)
+              if point_table != "off" else None)
+    _table_s = _time.perf_counter() - _table_t0
+
     # stack only what the device step + host post-processing consume;
     # a val item carries ~30 keys (incl. a 1.4 MB all-zero vote_label)
     # whose np.stack cost would dominate the 1-core host budget
     from spacap3d_tpu.train.step import EVAL_INPUT_KEYS
-    grid_keys = sorted(
-        set(EVAL_INPUT_KEYS)
-        | {"dataset_idx", "scene_object_ids", "gt_box_corner_label",
-           "box_label_mask", "sem_cls_label"}
-    )
+    host_keys = {"dataset_idx", "scene_object_ids", "gt_box_corner_label",
+                 "box_label_mask", "sem_cls_label"}
+    if tables is not None:
+        point_tbl, center_tbl, row_of_idx = tables
+        grid_keys = sorted({"pc_choices"} | host_keys)
+    else:
+        grid_keys = sorted(set(EVAL_INPUT_KEYS) | host_keys)
     loader = GridLoader(dataset, seeds, batch_size, num_workers=num_workers,
-                        keys=grid_keys)
+                        keys=grid_keys, indices_mode=tables is not None)
     lock = threading.Lock()
     consume_s = [0.0]
     rows_per_seed = len(dataset)
@@ -265,9 +359,21 @@ def mul_eval_grid(
         futures = []
         with ThreadPoolExecutor(max_workers=4) as pool:
             for i, batch in enumerate(loader):
-                dev_batch = eval_input_batch(batch)
-                if batch_to_device:
-                    dev_batch = batch_to_device(dev_batch)
+                if tables is not None:
+                    # per-row h2d: indices only; the tables ride along as
+                    # already-device-committed args (no re-transfer)
+                    dev_batch = {
+                        "pc_choices": batch["pc_choices"],
+                        "scene_row": row_of_idx[batch["dataset_idx"]],
+                    }
+                    if batch_to_device:
+                        dev_batch = batch_to_device(dev_batch)
+                    dev_batch["point_table"] = point_tbl
+                    dev_batch["center_table"] = center_tbl
+                else:
+                    dev_batch = eval_input_batch(batch)
+                    if batch_to_device:
+                        dev_batch = batch_to_device(dev_batch)
                 out = eval_step(params, state, dev_batch)
                 futures.append(pool.submit(consume, batch, out))
                 # bound in-flight device batches / host backlog
@@ -293,7 +399,8 @@ def mul_eval_grid(
         # exception mid-stream this stops the pool instead of leaking it
         score_pool.shutdown(wait=False)
     if timing_out is not None:
-        timing_out.update(stream_s=_stream_s, consume_s=consume_s[0],
+        timing_out.update(table_s=_table_s, point_table=tables is not None,
+                          stream_s=_stream_s, consume_s=consume_s[0],
                           score_s=_time.perf_counter() - _score_t0)
 
     return [{"seed": int(s), **m} for s, m in zip(seeds, scored)]

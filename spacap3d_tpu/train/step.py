@@ -257,6 +257,24 @@ def make_eval_step(cfg: ModelConfig, mesh=None, with_caption_decode=True,
         )
 
     def fwd(params, state, batch):
+        if "pc_choices" in batch:
+            # device-resident point-table mode (mul_eval grid): the scene
+            # table was uploaded ONCE; each row ships only its subsample
+            # indices (~4-8x less host->device traffic than the 40k x C
+            # f32 cloud, which bounds the e2e pipeline through a
+            # remote-attached TPU). Rows are bit-identical to the host
+            # gather: f64->f32 cast and row-select commute elementwise.
+            rows = batch["scene_row"].astype(jnp.int32)        # (B,)
+            scene_pts = jnp.take(batch["point_table"], rows, axis=0)
+            pc = jnp.take_along_axis(
+                scene_pts,
+                batch["pc_choices"][..., None].astype(jnp.int32),
+                axis=1,
+            )
+            batch = {
+                "point_clouds": pc,
+                "center_label": jnp.take(batch["center_table"], rows, axis=0),
+            }
         ep, _ = apply_spacap(
             params, state, cfg, batch,
             is_eval=with_caption_decode and not cfg.no_caption,

@@ -124,11 +124,16 @@ def test_grid_metrics_equal_serial(setup):
     organized = organize_annotations(anns)
     # batch 4 deliberately != len(ds): rows from different seeds share
     # batches and the final batch is padded
+    timing = {}
     grid_rows = mul_eval_grid(
         grid_step, params, state, ds, vocab, dc, corpus, organized,
         SEEDS, batch_size=4, min_iou=min_iou, also_detection=True,
-        num_workers=1, score_workers=1,
+        num_workers=1, score_workers=1, timing_out=timing,
     )
+    # the device-resident point-table path must actually be active here
+    # (a silent fallback to per-row upload would make this test vacuous
+    # for the indices mode)
+    assert timing["point_table"] is True
     assert len(grid_rows) == len(SEEDS)
     for want, got in zip(serial_rows, grid_rows):
         got = dict(got)
@@ -153,15 +158,18 @@ def test_grid_sharded_over_mesh(setup):
 
     def to_dev(b):
         db = orig(mesh, b)
-        sharded_flags.append(
-            not db["point_clouds"].sharding.is_fully_replicated
-        )
+        pc = db.get("pc_choices", db.get("point_clouds"))
+        sharded_flags.append(not pc.sharding.is_fully_replicated)
         return db
 
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    repl = NamedSharding(mesh, PartitionSpec())
     rows = mul_eval_grid(
         eval_step, params, state, ds, vocab, dc, corpus, organized,
         SEEDS, batch_size=8, also_detection=False,
         batch_to_device=to_dev, num_workers=1, score_workers=1,
+        table_to_device=lambda x: jax.device_put(x, repl),
     )
     # 6 rows pad to one batch of 8 -> sharded across all devices
     assert sharded_flags and all(sharded_flags)
@@ -180,7 +188,7 @@ def test_grid_device_step_scaling(setup):
     calls = []
 
     def counting_step(p, s, b):
-        calls.append(b["point_clouds"].shape[0])
+        calls.append(b.get("pc_choices", b.get("point_clouds")).shape[0])
         return real_step(p, s, b)
 
     corpus = prepare_corpus(anns)
