@@ -225,12 +225,23 @@ def bench_mul_eval_e2e(cfg, dc, num_scenes=141, num_seeds=4, batch_size=8):
     # bench covers num_seeds*num_scenes rows, so timing the compile would
     # understate steady-state throughput (and add minutes of cold-cache
     # variance)
+    # the grid runs in indices mode (device-resident point table), so warm
+    # with that exact input signature: build the tables once here (same
+    # shapes/dtypes as the in-window build), compile, then clear the
+    # dataset's per-scene cache so the timed window still pays the real
+    # one-time feature-assembly + table build the way a cold run does
+    from spacap3d_tpu.eval.mul_eval import _build_point_tables
+    tbl, ctr, _row = _build_point_tables(ds)
     warm = {
-        "point_clouds": jnp.zeros((batch_size, cfg.num_points, 4), jnp.float32),
-        "center_label": jnp.zeros((batch_size, 128, 3), jnp.float32),
+        "pc_choices": jnp.zeros((batch_size, cfg.num_points), jnp.uint16),
+        "scene_row": jnp.zeros((batch_size,), jnp.int32),
+        "point_table": tbl, "center_table": ctr,
     }
     out = eval_step(params, state, warm)
     _ = np.asarray(out["lang_cap"][0, 0])
+    del warm, tbl, ctr
+    ds._eval_cache.clear()
+    ds._eval_cache_bytes = 0
 
     timing: dict = {}
     t0 = time.perf_counter()
