@@ -178,3 +178,51 @@ def test_staged_decode_matches_single_stage(rng):
     np.testing.assert_array_equal(
         np.asarray(ep4["lang_cap"]), np.asarray(ep1["lang_cap"])
     )
+
+
+def test_batch_norm_custom_vjp_matches_autodiff():
+    """core.batch_norm's hand-written train-mode VJP must agree with plain
+    autodiff of the same two-pass formula (forward bit-equal, grads to fp
+    reassociation tolerance)."""
+    from spacap3d_tpu.models import core
+
+    rng = jax.random.PRNGKey(42)
+
+    def plain(scale, bias, x, eps=1e-5):
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x, axis=axes)
+        var = jnp.mean(jnp.square(x - mean), axis=axes)
+        return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+    def custom(scale, bias, x):
+        return core._bn_train(scale, bias, x, 1e-5)[0]
+
+    x = jax.random.normal(rng, (64, 7, 16)) * 3 + 1
+    scale = jax.random.normal(jax.random.fold_in(rng, 1), (16,)) + 1
+    bias = jax.random.normal(jax.random.fold_in(rng, 2), (16,))
+    dy = jax.random.normal(jax.random.fold_in(rng, 3), (64, 7, 16))
+
+    np.testing.assert_array_equal(
+        np.asarray(plain(scale, bias, x)), np.asarray(custom(scale, bias, x))
+    )
+    ga = jax.grad(lambda s, b, xx: jnp.sum(plain(s, b, xx) * dy), (0, 1, 2))(
+        scale, bias, x)
+    gb = jax.grad(lambda s, b, xx: jnp.sum(custom(s, b, xx) * dy), (0, 1, 2))(
+        scale, bias, x)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=2e-6)
+
+    # the state path (mean / unbiased var) still matches the plain formula
+    p = {"scale": scale, "bias": bias}
+    s = {"mean": jnp.zeros(16), "var": jnp.ones(16)}
+    _, ns = core.batch_norm(p, s, x, train=True, momentum=0.1)
+    axes = (0, 1)
+    mean = jnp.mean(x, axis=axes)
+    var = jnp.mean(jnp.square(x - mean), axis=axes)
+    n = x.size // x.shape[-1]
+    np.testing.assert_allclose(
+        np.asarray(ns["mean"]), np.asarray(0.9 * 0 + 0.1 * mean), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ns["var"]),
+        np.asarray(0.9 * 1 + 0.1 * var * n / (n - 1)), rtol=1e-6)
