@@ -57,7 +57,31 @@ def parse_args(argv=None):
                    help="eval_visualize: print path info")
     p.add_argument("--nodryrun", action="store_true",
                    help="eval_visualize: actually write files")
-    return p.parse_args(argv)
+    # 1:1 reference flag aliases (reference eval.py:386-387,406) so a
+    # reference command line pasted verbatim parses and does the same thing
+    p.add_argument("--eval_caption", action="store_true",
+                   help="reference alias (eval.py:386): caption metrics; "
+                        "alone (without --eval_detection) it implies "
+                        "--no_detection_eval")
+    p.add_argument("--eval_detection", action="store_true",
+                   help="reference alias (eval.py:387): detection AP; "
+                        "alone (without --eval_caption) it implies "
+                        "--detection_only")
+    p.add_argument("--use_last", action="store_true",
+                   help="reference alias (eval.py:406): evaluate "
+                        "model_last.ckpt instead of --checkpoint")
+    args = p.parse_args(argv)
+    # resolve aliases onto the native flags; under --mul_eval the reference
+    # loop always runs both caption and detection (eval.py:446-478), so the
+    # single-eval aliases don't restrict it there either
+    if args.use_last:
+        args.checkpoint = "model_last.ckpt"
+    if not args.mul_eval:
+        if args.eval_caption and not args.eval_detection:
+            args.no_detection_eval = True
+        elif args.eval_detection and not args.eval_caption:
+            args.detection_only = True
+    return args
 
 
 def main(argv=None):

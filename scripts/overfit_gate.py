@@ -47,6 +47,10 @@ def parse_args(argv=None):
                         "lib/config.py:58); CIDEr@0.5 is also reported")
     p.add_argument("--arch_preset", type=str, default="tiny")
     p.add_argument("--seed", type=int, default=11)
+    p.add_argument("--out", type=str, default=None,
+                   help="also write the one-line JSON result to this path "
+                        "(per-round learning-proof artifact, e.g. "
+                        "OVERFIT_r04.json)")
     return p.parse_args(argv)
 
 
@@ -137,6 +141,9 @@ def main(argv=None):
         "eval_s": round(eval_s, 1),
     }
     print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(json.dumps(result) + "\n")
     return result
 
 

@@ -297,6 +297,23 @@ class MeteorJar:
             final = float(self.proc.stdout.readline().strip())
         return final, np.array(scores)
 
+    def close(self):
+        """Terminate the jar process (reference meteor.py __del__)."""
+        with self.lock:
+            if self.proc.poll() is None:
+                try:
+                    self.proc.stdin.close()
+                except (BrokenPipeError, OSError):
+                    pass
+                self.proc.kill()
+                self.proc.wait()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
 
 _VOWELS = "aeiou"
 
@@ -572,15 +589,32 @@ class MeteorLite:
 
 
 class Meteor:
-    """Dispatches to the jar when present, MeteorLite otherwise."""
+    """Dispatches to the jar when present, MeteorLite otherwise.
+
+    ``SPACAP_METEOR_COMMAND`` (shlex-split) overrides the subprocess argv
+    — used by tests to route the one-persistent-process contract through
+    the scripted fake jar without java. A jar process is expensive (JVM
+    spawn + model load), so hold ONE ``Meteor`` per evaluation run and
+    share it across seeds, exactly like the reference's single persistent
+    process (lib/capeval/meteor/meteor.py:12-26); ``close()`` when done."""
 
     def __init__(self, jar_path: str | None = None):
         jar = jar_path or os.environ.get("SPACAP_METEOR_JAR", DEFAULT_METEOR_JAR)
-        self.is_exact = os.path.exists(jar)
-        self._impl = MeteorJar(jar) if self.is_exact else MeteorLite()
+        cmd_env = os.environ.get("SPACAP_METEOR_COMMAND")
+        if cmd_env:
+            import shlex
+            self.is_exact = True
+            self._impl = MeteorJar(jar, command=shlex.split(cmd_env))
+        else:
+            self.is_exact = os.path.exists(jar)
+            self._impl = MeteorJar(jar) if self.is_exact else MeteorLite()
 
     def compute_score(self, gts: Dict, res: Dict):
         return self._impl.compute_score(gts, res)
+
+    def close(self):
+        if isinstance(self._impl, MeteorJar):
+            self._impl.close()
 
     def method(self):
         return "METEOR"

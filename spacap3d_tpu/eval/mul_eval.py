@@ -209,13 +209,16 @@ def _score_seed(args):
     seed's candidate set is complete long before the stream ends and its
     scoring (~1 s: python capeval + the vectorized array AP) hides behind
     the remaining seeds' device work."""
-    corpus, candidates, meteor_jar, ap_state, class2type, cider_refs = args
+    corpus, candidates, meteor_scorer, ap_state, class2type, cider_refs = args
     candidates = check_candidates(corpus, dict(candidates))
     candidates = organize_candidates(corpus, candidates)
     bleu = capeval.Bleu(4).compute_score(corpus, candidates)
     cider = capeval.Cider(refs=cider_refs).compute_score(corpus, candidates)
     rouge = capeval.Rouge().compute_score(corpus, candidates)
-    meteor = capeval.Meteor(meteor_jar).compute_score(corpus, candidates)
+    # ONE shared scorer for the whole run: with a jar present this is one
+    # persistent JVM (reference meteor.py:12-26), not one spawn per seed;
+    # its internal lock serializes the stdio protocol across pool threads
+    meteor = meteor_scorer.compute_score(corpus, candidates)
     metrics = {
         "bleu-1": bleu[0][0], "bleu-2": bleu[0][1],
         "bleu-3": bleu[0][2], "bleu-4": bleu[0][3],
@@ -303,10 +306,12 @@ def mul_eval_grid(
     # reference-side CIDEr state is seed-invariant: build once, reuse in
     # every seed's scoring pass (bit-equal scores — see capeval.CiderRefs)
     cider_refs = capeval.CiderRefs(corpus)
+    # one METEOR scorer for the whole run (one jar spawn, not one per seed)
+    meteor_scorer = capeval.Meteor(meteor_jar)
 
     def _submit_seed(seed):
         """Seed complete: score it now, overlapped with the stream."""
-        args = (corpus, candidates[seed], meteor_jar,
+        args = (corpus, candidates[seed], meteor_scorer,
                 (ap_calcs[seed].pred_map_cls, ap_calcs[seed].gt_map_cls)
                 if also_detection else None,
                 dc.class2type, cider_refs)
@@ -398,6 +403,7 @@ def mul_eval_grid(
         # no-op on the success path (all futures already resolved); on an
         # exception mid-stream this stops the pool instead of leaking it
         score_pool.shutdown(wait=False)
+        meteor_scorer.close()
     if timing_out is not None:
         timing_out.update(table_s=_table_s, point_table=tables is not None,
                           stream_s=_stream_s, consume_s=consume_s[0],

@@ -137,9 +137,15 @@ class Solver:
             np_to_jax(payload["params"]), np_to_jax(payload["state"]),
             np_to_jax(payload["opt_state"]), payload["step"],
         )
-        self.best = payload["best"]
-        self.global_iter = payload["iter"]
-        self.start_epoch = payload["epoch"] + 1
+        # checkpoint snapshots pass every leaf through np.asarray — cast
+        # the python-scalar bookkeeping back to native types, or the 0-d
+        # arrays poison json.dump in dump_scalars / info.json later
+        self.best = {
+            k: int(v) if k == "epoch" else float(v)
+            for k, v in payload["best"].items()
+        }
+        self.global_iter = int(payload["iter"])
+        self.start_epoch = int(payload["epoch"]) + 1
 
     # ------------------------------------------------------------------
     def profile(self, num_steps: int = 5, rng=None):
@@ -184,6 +190,12 @@ class Solver:
         self._finish()
 
     def _feed_epoch(self, epoch, rng, momentum, verbose, total_iters, t_start):
+        # pin the loader's shuffle epoch to the TRUE epoch index so a
+        # --use_checkpoint restart resumes with the same batch order an
+        # uninterrupted run would have seen (the loader otherwise counts
+        # its own __iter__ calls from 0) — bit-compatible resume
+        if hasattr(self.train_loader, "epoch"):
+            self.train_loader.epoch = epoch
         # step-time sampling period: blocking every iteration would kill
         # the dispatch pipeline, so device step time is bounded with
         # block_until_ready on sampled iterations only (the reference

@@ -70,6 +70,27 @@ def test_train_and_eval_cli(data_root, tmp_path):
     rows = open(os.path.join(run_root, "mul_results.csv")).readlines()
     assert len(rows) == 3  # header + 2 seeds
 
+    # 1:1 reference flag aliases (reference eval.py:386-387,406): a
+    # reference-syntax command line must parse AND run — caption-only
+    # metrics on model_last.ckpt
+    eval_cli.main([
+        "--folder", runs[0], "--data_root", data_root,
+        "--output_dir", out_dir, "--batch_size", "4", "--num_workers", "1",
+        "--eval_tag", "alias", "--eval_caption", "--use_last",
+    ])
+    header = open(os.path.join(run_root, "alias_results.csv")).readline()
+    assert "cider" in header and "mAP@0.5" not in header
+    # alias resolution table
+    a = eval_cli.parse_args(["--folder", "x", "--eval_detection"])
+    assert a.detection_only and a.checkpoint == "model.ckpt"
+    a = eval_cli.parse_args(["--folder", "x", "--eval_caption",
+                             "--eval_detection"])
+    assert not a.detection_only and not a.no_detection_eval
+    a = eval_cli.parse_args(["--folder", "x", "--mul_eval", "--eval_caption",
+                             "--eval_detection", "--use_last"])
+    assert not a.detection_only and not a.no_detection_eval
+    assert a.checkpoint == "model_last.ckpt"
+
     # --use_train evaluates the TRAIN split (reference eval.py:405):
     # corpus/pred artifacts switch to the train phase naming
     eval_cli.main([

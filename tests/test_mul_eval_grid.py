@@ -8,6 +8,8 @@ schedule as DataLoader(seed=s) at epoch 0, and all device ops are
 row-independent in eval mode (BN uses running stats).
 """
 import dataclasses
+import os
+import sys
 
 import jax
 import numpy as np
@@ -141,6 +143,85 @@ def test_grid_metrics_equal_serial(setup):
         assert set(got) == set(want)
         for k in want:
             assert got[k] == pytest.approx(want[k], rel=1e-9), (k, want, got)
+
+
+def test_point_table_fallback_rows_equal(setup, monkeypatch):
+    """The per-row-upload fallbacks must produce the SAME per-seed rows as
+    the device-resident point-table mode — pinning the claim in
+    eval/mul_eval.py ("rows are bit-identical either way") for BOTH
+    fallback triggers: point_table='off' and the HBM-budget bail-out
+    (SPACAP_POINT_TABLE_BYTES too small for the padded table)."""
+    ds, vocab, dc, anns, cfg, params, state = setup
+    grid_step = make_eval_step(cfg, compact=True)
+    corpus = prepare_corpus(anns)
+    organized = organize_annotations(anns)
+
+    def run(point_table, budget=None):
+        if budget is None:
+            monkeypatch.delenv("SPACAP_POINT_TABLE_BYTES", raising=False)
+        else:
+            monkeypatch.setenv("SPACAP_POINT_TABLE_BYTES", budget)
+        timing = {}
+        rows = mul_eval_grid(
+            grid_step, params, state, ds, vocab, dc, corpus, organized,
+            SEEDS, batch_size=4, min_iou=0.05, also_detection=True,
+            num_workers=1, score_workers=1, timing_out=timing,
+            point_table=point_table,
+        )
+        return rows, timing
+
+    table_rows, t = run("auto")
+    assert t["point_table"] is True
+    off_rows, t = run("off")
+    assert t["point_table"] is False
+    budget_rows, t = run("auto", budget="1")     # forces the budget bail-out
+    assert t["point_table"] is False
+
+    for variant in (off_rows, budget_rows):
+        assert len(variant) == len(table_rows)
+        for want, got in zip(table_rows, variant):
+            assert set(got) == set(want)
+            for k in want:
+                assert got[k] == want[k], (k, want, got)
+
+
+def test_grid_single_meteor_spawn(setup, monkeypatch):
+    """One persistent METEOR process per mul_eval run (reference
+    lib/capeval/meteor/meteor.py:12-26 holds ONE jar for the whole run):
+    with a (fake) jar configured, a multi-seed grid with a multi-thread
+    score pool must spawn exactly one subprocess, shared across every
+    per-seed scoring pass, and close it on exit."""
+    import subprocess as sp
+
+    from spacap3d_tpu.eval import capeval
+
+    ds, vocab, dc, anns, cfg, params, state = setup
+    fake = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fake_meteor_jar.py")
+    monkeypatch.setenv("SPACAP_METEOR_COMMAND", f"{sys.executable} {fake}")
+
+    spawned = []
+    real_popen = sp.Popen
+
+    def counting_popen(*args, **kwargs):
+        proc = real_popen(*args, **kwargs)
+        spawned.append(proc)
+        return proc
+
+    monkeypatch.setattr(capeval.subprocess, "Popen", counting_popen)
+    eval_step = make_eval_step(cfg, compact=True)
+    corpus = prepare_corpus(anns)
+    organized = organize_annotations(anns)
+    rows = mul_eval_grid(
+        eval_step, params, state, ds, vocab, dc, corpus, organized,
+        SEEDS, batch_size=4, min_iou=0.05, also_detection=False,
+        num_workers=1, score_workers=4,
+    )
+    assert len(spawned) == 1, f"expected ONE jar spawn, got {len(spawned)}"
+    assert len(rows) == len(SEEDS)
+    assert all(np.isfinite(r["meteor"]) for r in rows)
+    # and the run closed its jar process (no leak per seed OR per run)
+    assert spawned[0].poll() is not None
 
 
 def test_grid_sharded_over_mesh(setup):
