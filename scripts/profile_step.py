@@ -145,23 +145,40 @@ def summarize(xplane_path: str, n_steps: int, top: int = 25):
                 ev_dur = float(val)
     os.unlink(txt_path)
 
-    fam = defaultdict(float)
-    for i, v in agg.items():
-        name = md_short.get(i, md_long.get(i, str(i)))
-        fam[re.sub(r"[.\d]+$", "", name)] += v
-    total = sum(agg.values()) / 1e6 / n_steps
     if not agg:
         print("no device op events found (XLA-CPU emits no per-op device "
               "plane — run against a TPU for the op breakdown)")
         return
-    print(f"total XLA-op time (async-inflated): {total:.0f} us/step")
-    print(f"{'op family':58s} {'us/step':>9s}")
+
+    # Async DMA ops (copy-start / slice-start / async-copy) report their
+    # in-flight WINDOW, not resource occupancy — they overlap the compute
+    # stream, so summing them wildly overstates. Split them out: the sync
+    # bucket is the serialized device stream whose sum approximates the
+    # step's device wall time (the roofline denominator).
+    def is_async(i):
+        long = md_long.get(i, "")
+        short = md_short.get(i, "")
+        return (long.startswith("%copy-start") or long.startswith("%slice-start")
+                or short.startswith("async-copy"))
+
+    sync_agg = {i: v for i, v in agg.items() if not is_async(i)}
+    async_total = sum(v for i, v in agg.items() if is_async(i)) / 1e6 / n_steps
+    sync_total = sum(sync_agg.values()) / 1e6 / n_steps
+    fam = defaultdict(float)
+    for i, v in sync_agg.items():
+        name = md_short.get(i, md_long.get(i, str(i)))
+        fam[re.sub(r"[.\d]+$", "", name)] += v
+    print(f"sync XLA-op time (serialized stream ~= device step wall): "
+          f"{sync_total:.0f} us/step")
+    print(f"async DMA windows (overlapped; NOT additive): "
+          f"{async_total:.0f} us/step")
+    print(f"{'sync op family':58s} {'us/step':>9s}")
     for k, v in sorted(fam.items(), key=lambda kv: -kv[1])[:top]:
         print(f"{k[:58]:58s} {v / 1e6 / n_steps:9.0f}")
-    print(f"\n{'top individual ops':70s} {'us/step':>9s}")
-    for i, v in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
+    print(f"\n{'top individual sync ops':70s} {'us/step':>9s}")
+    for i, v in sorted(sync_agg.items(), key=lambda kv: -kv[1])[:top]:
         name = md_long.get(i, md_short.get(i, str(i)))
-        print(f"{name[:70]:70s} {v / 1e6 / n_steps:9.0f}")
+        print(f"{name[:100]:100s} {v / 1e6 / n_steps:9.0f}")
 
 
 def main(argv=None):
