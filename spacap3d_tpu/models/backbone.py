@@ -101,7 +101,15 @@ def sa_module(
 
     idx = ops.ball_query(xyz, new_xyz, cfg.radius, cfg.nsample)
     # single fused neighbor gather (xyz ++ features in one row) — two
-    # separate small-row gathers profiled ~2x slower on TPU
+    # separate small-row gathers profiled ~2x slower on TPU.
+    # (Splitting the first MLP matmul so the xyz++feature concat never
+    # materializes — ((gx-c)/r)@W_xyz + gf@W_feat — was measured NEUTRAL
+    # at SA2-4 and a 0.7 ms/step REGRESSION at SA1: XLA reconstructs the
+    # (B, npoint, nsample, 3+C) tensor anyway to assemble the gather's
+    # backward scatter update, and SA1's 1-channel feature matmul is
+    # pathological. Folding the center-subtract into the matmul bias is
+    # numerically unsafe under the TPU's bf16 matmul inputs: it rounds
+    # ABSOLUTE coordinates, losing the small offsets to cancellation.)
     if features is not None:
         cat = jnp.concatenate([xyz, features], axis=-1)
         grouped_cat = ops.group_points(cat, idx)

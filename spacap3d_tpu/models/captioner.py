@@ -286,11 +286,24 @@ def _generator(p, x):
 
 
 def _relation_head(p, attn, value):
-    """attn (B,h,K,K), value (B,h,K,dk) -> (B,K,K,9) (:391-398)."""
-    rel = jnp.einsum("bhij,bhjd->bijhd", attn, value)
-    b, k, _, h, dk = rel.shape
-    rel = rel.reshape(b, k, k, h * dk)
-    h1 = jax.nn.relu(core.dense(p["relation_proposal"]["l0"], rel))
+    """attn (B,h,K,K), value (B,h,K,dk) -> (B,K,K,9) (:391-398).
+
+    The reference materializes rel[b,i,j] = concat_h(attn[b,h,i,j] *
+    value[b,h,j]) — (B,K,K,h*dk), 268 MB f32 at flagship shapes — and
+    feeds it to the first linear layer. l0 is linear, so fold it through
+    the outer product instead:
+        rel @ W0 == sum_h attn[b,h,i,j] * (value[b,h,j] @ W0_h)
+    with W0_h = W0.reshape(h, dk, C)[h]. The (B,K,K,h*dk) tensor never
+    exists (fwd OR bwd) and the big contraction shrinks 16x (over h=8
+    heads instead of h*dk=128 channels). Exact up to f32 reassociation
+    (pinned by the relation_pred reference-parity test at 2e-5)."""
+    b, h, k, dk = value.shape
+    w0 = p["relation_proposal"]["l0"]["kernel"]          # (h*dk, C)
+    vw = jnp.einsum("bhjd,hdc->bhjc", value, w0.reshape(h, dk, -1),
+                    preferred_element_type=jnp.float32)
+    h1 = jnp.einsum("bhij,bhjc->bijc", attn, vw,
+                    preferred_element_type=jnp.float32)
+    h1 = jax.nn.relu(h1 + p["relation_proposal"]["l0"]["bias"])
     h2 = jax.nn.relu(core.dense(p["relation_proposal"]["l2"], h1))
     return core.dense(p["relation_proposal"]["l4"], h2)
 
