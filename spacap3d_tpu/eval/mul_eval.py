@@ -208,7 +208,18 @@ def _score_seed(args):
     pool overlapped with the device stream: the grid is seed-major, so a
     seed's candidate set is complete long before the stream ends and its
     scoring (~1 s: python capeval + the vectorized array AP) hides behind
-    the remaining seeds' device work."""
+    the remaining seeds' device work.
+
+    Deliberately a THREAD pool, not processes, although capeval is
+    GIL-bound python: (a) the measured post-stream scoring tail is
+    0.2-0.4 s against a 3-7 s stream (it already hides), (b) the METEOR
+    scorer is one shared persistent subprocess (unpicklable, and the
+    single-spawn contract below forbids per-worker copies), and (c) a
+    spawned worker re-imports this module, which imports jax — under the
+    remote-TPU site hook each child would try to grab the TPU plugin the
+    parent holds. If scoring ever dominates on a many-core host, the safe
+    shape is a jax-free worker module scoring only the python metrics,
+    with METEOR kept on the shared scorer."""
     corpus, candidates, meteor_scorer, ap_state, class2type, cider_refs = args
     candidates = check_candidates(corpus, dict(candidates))
     candidates = organize_candidates(corpus, candidates)
