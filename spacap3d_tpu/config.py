@@ -94,6 +94,16 @@ class ModelConfig:
     # cuts the cache re-read traffic that bounds the decode ~1.6x.
     # 1 = single full-length scan.
     eval_decode_stages: int = 4
+    # Opt-in stage-granular early exit: once EVERY decoded row has emitted
+    # EOS, the remaining scan stages are skipped (lax.cond — one branch
+    # executes at runtime) and their token slots filled with EOS. Final
+    # captions are identical (the harness truncates at the first EOS);
+    # the RAW lang_cap tensor differs after the all-EOS point, which is
+    # why this defaults off: the reference-parity tests pin full 31-token
+    # sequences. With trained weights real captions end at ~10-15 of 31
+    # steps, so production eval skips most of the decode tail. No effect
+    # on a model that never emits EOS (stage 1 always runs).
+    eval_decode_early_exit: bool = False
 
     @property
     def size_decoded(self) -> bool:

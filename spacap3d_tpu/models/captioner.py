@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from spacap3d_tpu.config import MAX_DES_LEN, SOS_ID, ModelConfig
+from spacap3d_tpu.config import EOS_ID, MAX_DES_LEN, SOS_ID, ModelConfig
 from spacap3d_tpu.models import core
 from spacap3d_tpu.models.core import Params, RngStream, State
 from spacap3d_tpu.ops.nn_distance import nn_distance
@@ -656,6 +656,7 @@ def captioner_eval(
 
     token = jnp.full((r,), SOS_ID, jnp.int32)
     stage_tokens = []
+    seen_eos = jnp.zeros((r,), bool)
     for s, (s0, s_steps, size) in enumerate(stages):
         if s:
             grow = size - stages[s - 1][2]
@@ -664,10 +665,37 @@ def captioner_eval(
                  jnp.pad(vc, ((0, 0), (0, 0), (0, grow), (0, 0))))
                 for kc, vc in caches
             ]
-        (token, flat), toks = lax.scan(
-            step, (token, flatten(caches)),
-            jnp.arange(s0, s0 + s_steps, dtype=jnp.int32),
-        )
+        steps_arr = jnp.arange(s0, s0 + s_steps, dtype=jnp.int32)
+        if cfg.eval_decode_early_exit and s:
+            # Once every row has emitted EOS, later stages can't change
+            # the final captions (the harness truncates at the first
+            # EOS): skip the whole stage and fill its slots with EOS.
+            # lax.cond executes ONE branch at runtime, so trained models
+            # (captions typically end ~10-15 of 31 steps) skip most of
+            # the decode tail. Raw tokens after the all-EOS point differ
+            # from the always-decode path — caption-level equality is
+            # pinned in tests; the flag defaults off for the raw-token
+            # parity guarantees.
+            def run_stage(operands):
+                tok, fl = operands
+                (tok, fl), toks = lax.scan(step, (tok, fl), steps_arr)
+                return tok, fl, toks
+
+            def skip_stage(operands):
+                tok, fl = operands
+                return tok, fl, jnp.full((s_steps, r), EOS_ID, jnp.int32)
+
+            token, flat, toks = lax.cond(
+                jnp.logical_not(jnp.all(seen_eos)), run_stage, skip_stage,
+                (token, flatten(caches)),
+            )
+        else:
+            (token, flat), toks = lax.scan(
+                step, (token, flatten(caches)), steps_arr,
+            )
+        if cfg.eval_decode_early_exit:
+            seen_eos = jnp.logical_or(seen_eos,
+                                      jnp.any(toks == EOS_ID, axis=0))
         caches = unflatten(flat)
         stage_tokens.append(toks)
     tokens = jnp.concatenate(stage_tokens, axis=0)

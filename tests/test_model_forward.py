@@ -104,6 +104,53 @@ def test_bf16_decode_tokens_match_f32(rng):
     )
 
 
+def test_early_exit_decode(rng):
+    """Opt-in stage-granular early exit (eval_decode_early_exit): once
+    EVERY row has emitted EOS the remaining scan stages are skipped via
+    lax.cond and their slots filled with EOS.
+
+    1. Random init (EOS not emitted by every row within stage 1): the
+       cond takes the run branch every stage, so the output must be
+       BIT-identical to the flag-off decode — pins that a partially-true
+       seen_eos never skips.
+    2. EOS-forced generator (zero kernel, EOS-max bias): every row emits
+       EOS at step 0, stages 2+ skip, and the caption-level output
+       (everything up to and including the first EOS) matches flag-off."""
+    from spacap3d_tpu.config import EOS_ID
+
+    base = dataclasses.replace(TINY, eval_decode_stages=4)
+    params, state = init_spacap(jax.random.PRNGKey(4), base, _mean_sizes(base))
+    batch = tiny_batch(rng, base)
+    on_cfg = dataclasses.replace(base, eval_decode_early_exit=True)
+
+    off, _ = make_forward(base, is_eval=True, train=False)(params, state, batch)
+    on, _ = make_forward(on_cfg, is_eval=True, train=False)(params, state, batch)
+    toks_off = np.asarray(off["lang_cap"])
+    toks_on = np.asarray(on["lang_cap"])
+    # sanity: this init must exercise the no-skip case (not all rows EOS
+    # within the first stage) or the bit-identity below is vacuous
+    stage1 = toks_off[..., :2]
+    assert not (stage1 == EOS_ID).any(-1).all(), "init emits EOS everywhere"
+    np.testing.assert_array_equal(toks_on, toks_off)
+
+    # EOS-forced: constant logits with EOS max -> argmax is EOS at every
+    # step for every row; all stages after the first skip
+    gen = params["caption"]["model"]["generator"]["proj"]
+    forced = jax.tree_util.tree_map(lambda x: x, params)
+    bias = np.zeros_like(np.asarray(gen["bias"]))
+    bias[EOS_ID] = 5.0
+    forced["caption"]["model"]["generator"] = {"proj": {
+        "kernel": jnp.zeros_like(gen["kernel"]), "bias": jnp.asarray(bias)}}
+    off2, _ = make_forward(base, is_eval=True, train=False)(forced, state, batch)
+    on2, _ = make_forward(on_cfg, is_eval=True, train=False)(forced, state, batch)
+    t_off = np.asarray(off2["lang_cap"])
+    t_on = np.asarray(on2["lang_cap"])
+    assert (t_off == EOS_ID).all()
+    assert (t_on == EOS_ID).all()   # skip fill value == what decode yields
+    # first-EOS truncation (what the harness consumes) identical
+    np.testing.assert_array_equal(t_on[..., 0], t_off[..., 0])
+
+
 def test_eval_decode_matches_full_recompute(rng):
     """KV-cached scan decode must equal the reference's full-recompute loop
     (compared in f32; the bf16-vs-f32 agreement is tested separately)."""
