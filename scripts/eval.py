@@ -164,6 +164,14 @@ def main(argv=None):
 
     attn_dump_step = None
     if args.save_encoder_attn or args.save_decoder_attn:
+        if args.fast_decode:
+            import warnings
+            warnings.warn(
+                "--fast_decode fills token slots after the all-EOS point "
+                "with EOS; the teacher-forced attention dump re-runs over "
+                "those tokens, so dumped weights past each caption's EOS "
+                "differ from a normal-decode run (captions and metrics do "
+                "not).", RuntimeWarning)
         from spacap3d_tpu.train.step import make_attn_dump_step
         attn_dump_step = make_attn_dump_step(model_cfg)
 
