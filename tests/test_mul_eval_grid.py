@@ -12,6 +12,7 @@ import os
 import sys
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -143,6 +144,38 @@ def test_grid_metrics_equal_serial(setup):
         assert set(got) == set(want)
         for k in want:
             assert got[k] == pytest.approx(want[k], rel=1e-9), (k, want, got)
+
+
+def test_grid_fast_decode_rows_equal(setup):
+    """eval_decode_early_exit through the FULL grid harness: per-seed
+    metric rows must equal the normal-decode grid. Two regimes: (1)
+    random weights — EOS coverage is partial, the cond never skips, rows
+    are bit-identical; (2) an EOS-forced generator — every row emits EOS
+    at step 0, later stages genuinely SKIP, and the truncate-at-first-EOS
+    harness still produces identical rows."""
+    ds, vocab, dc, anns, cfg, params, state = setup
+    corpus = prepare_corpus(anns)
+    organized = organize_annotations(anns)
+    fast_cfg = dataclasses.replace(cfg, eval_decode_early_exit=True)
+
+    def run(step_cfg, p):
+        return mul_eval_grid(
+            make_eval_step(step_cfg, compact=True), p, state, ds, vocab,
+            dc, corpus, organized, SEEDS, batch_size=4, min_iou=0.05,
+            also_detection=False, num_workers=1, score_workers=1,
+        )
+
+    assert run(fast_cfg, params) == run(cfg, params)
+
+    from spacap3d_tpu.config import EOS_ID
+    gen = params["caption"]["model"]["generator"]["proj"]
+    bias = np.zeros(np.asarray(gen["bias"]).shape, np.float32)
+    bias[EOS_ID] = 5.0
+    forced = jax.tree_util.tree_map(lambda x: x, params)
+    forced["caption"]["model"]["generator"] = {"proj": {
+        "kernel": jnp.zeros_like(gen["kernel"]),
+        "bias": jnp.asarray(bias)}}
+    assert run(fast_cfg, forced) == run(cfg, forced)
 
 
 def test_point_table_fallback_rows_equal(setup, monkeypatch):
