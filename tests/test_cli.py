@@ -177,3 +177,43 @@ def test_detection_pretrain_cli(data_root, tmp_path):
         "--detection_only", "--min_iou", "0.05",
     ])
     assert os.path.exists(os.path.join(run_root, "det_results.csv"))
+
+
+def test_referit3d_dataset_cli(data_root, tmp_path):
+    """--dataset ReferIt3D (reference train.py:33) trains and evaluates
+    from the nr3d_{train,val}.json layout — same annotation schema as
+    ScanRefer, different file names and vocabulary cache name."""
+    import eval as eval_cli
+    import train as train_cli
+
+    # reuse the synthetic ScanRefer annotations under the Nr3D file names
+    for split in ("train", "val"):
+        anns = json.load(open(os.path.join(
+            data_root, f"ScanRefer_filtered_{split}.json")))
+        with open(os.path.join(data_root, f"nr3d_{split}.json"), "w") as f:
+            json.dump(anns, f)
+
+    out_dir = str(tmp_path / "outputs")
+    train_cli.main([
+        "--data_root", data_root, "--output_dir", out_dir,
+        "--dataset", "ReferIt3D",
+        "--arch_preset", "tiny", "--num_points", "1024",
+        "--num_proposals", "16", "--batch_size", "4", "--epoch", "1",
+        "--val_step", "1000000", "--verbose", "1", "--num_workers", "1",
+        "--no_augment", "--tag", "nr3d",
+    ])
+    runs = os.listdir(out_dir)
+    run_root = os.path.join(out_dir, runs[0])
+    assert os.path.exists(os.path.join(
+        data_root, "ReferIt3D_vocabulary.json"))
+    cfg = json.load(open(os.path.join(run_root, "config.json")))
+    assert cfg["data"]["dataset"] == "ReferIt3D"
+
+    eval_cli.main([
+        "--folder", runs[0], "--data_root", data_root,
+        "--output_dir", out_dir, "--dataset", "ReferIt3D",
+        "--batch_size", "4", "--num_workers", "1",
+        "--checkpoint", "model_last.ckpt", "--eval_tag", "nr3d",
+    ])
+    row = open(os.path.join(run_root, "nr3d_results.csv")).readlines()
+    assert len(row) == 2 and "cider" in row[0]
