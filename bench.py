@@ -130,6 +130,8 @@ def bench_eval(cfg, dc, params, state, batch_size=8, n_iters=10, repeats=3):
         _ = np.asarray(outs[-1]["lang_cap"][0, :2])
         dt = time.perf_counter() - t0
         sps.append(batch_size * n_iters / dt)
+        del outs  # free the n_iters in-flight output trees before the
+        # next repeat (same HBM-leftover hazard bench_train guards)
     med_dt = batch_size * n_iters / float(np.median(sps))
     return sps, flops / (med_dt / n_iters)
 
@@ -278,7 +280,7 @@ def bench_mul_eval_e2e(cfg, dc, num_scenes=141, num_seeds=4, batch_size=8,
     # fresh `python bench.py` pays — the band is over cold runs, not a
     # warm-cache best case
     import sys
-    rps, timing = [], {}
+    rps, timings = [], []
     for _rep in range(repeats):
         ds._eval_cache.clear()
         ds._eval_cache_bytes = 0
@@ -302,7 +304,11 @@ def bench_mul_eval_e2e(cfg, dc, num_scenes=141, num_seeds=4, batch_size=8,
         print(f"e2e repeat {_rep}: {num_scenes * num_seeds / dt:.1f} rows/s "
               f"phases: {timing}", file=sys.stderr)
         rps.append(num_scenes * num_seeds / dt)
-    return rps, timing
+        timings.append(timing)
+    # report the MEDIAN repeat's phases (the headline is the median
+    # rows/s — an outlier repeat's breakdown would not explain it)
+    med_idx = int(np.argsort(rps)[len(rps) // 2])
+    return rps, timings[med_idx]
 
 
 def main():

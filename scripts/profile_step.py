@@ -175,7 +175,7 @@ def summarize(xplane_path: str, n_steps: int, top: int = 25):
     print(f"{'sync op family':58s} {'us/step':>9s}")
     for k, v in sorted(fam.items(), key=lambda kv: -kv[1])[:top]:
         print(f"{k[:58]:58s} {v / 1e6 / n_steps:9.0f}")
-    print(f"\n{'top individual sync ops':70s} {'us/step':>9s}")
+    print(f"\n{'top individual sync ops':100s} {'us/step':>9s}")
     for i, v in sorted(sync_agg.items(), key=lambda kv: -kv[1])[:top]:
         name = md_long.get(i, md_short.get(i, str(i)))
         print(f"{name[:100]:100s} {v / 1e6 / n_steps:9.0f}")

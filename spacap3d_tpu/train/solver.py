@@ -266,6 +266,17 @@ class Solver:
     def _validate(self, epoch):
         if self.tc.no_caption or self.val_loader is None:
             return
+        # pin the val (and eval-on-train) loaders' shuffle/subsample epoch
+        # to the VALIDATION COUNT — derived from global_iter, so a
+        # --use_checkpoint restart validates on the same point subsamples
+        # an uninterrupted run would have seen (the loaders otherwise
+        # count their own __iter__ calls from 0), keeping the best-ckpt
+        # selection resume-compatible, not just the train stream
+        if self.tc.val_step:
+            val_idx = max(0, self.global_iter // self.tc.val_step - 1)
+            for loader in (self.val_loader, self.train_eval_loader):
+                if loader is not None and hasattr(loader, "epoch"):
+                    loader.epoch = val_idx
         # optional eval on the train split (reference --eval_on_train,
         # lib/solver.py:511-540 runs eval_cap on both loaders)
         if self.eval_on_train and self.train_eval_loader is not None:

@@ -171,6 +171,13 @@ def test_solver_full_loop_on_mesh(mesh_world, tmp_path):
                       jax.tree_util.tree_leaves(c.train_state.state)):
         np.testing.assert_array_equal(np.asarray(xa), np.asarray(xc))
     assert int(a.train_state.step) == int(c.train_state.step) == len(loss)
+    # best-checkpoint selection is resume-compatible too: the restored
+    # run's in-loop validations see the SAME val point subsamples (the
+    # val loader's epoch is pinned to the validation count, not its own
+    # __iter__ count), so the best metrics match the uninterrupted run
+    assert set(c.best) == set(a.best)
+    for key in a.best:
+        assert float(c.best[key]) == float(a.best[key]), (key, a.best, c.best)
 
 
 def test_solver_profile_capture(world, tmp_path):
