@@ -152,16 +152,24 @@ def project_labels_majority(
     frames: List[Dict[str, np.ndarray]],
     helper: ProjectionHelper,
     num_classes: int,
+    ignore_zero: bool = False,
 ) -> np.ndarray:
     """Per-point semantic label by majority vote over frames — the visual
     sanity check of reference scripts/project_multiview_labels.py (labels
     replace features; overlaps resolved by vote instead of max-pool).
-    frames carry 'labels' (H, W) int instead of 'features'."""
+    frames carry 'labels' (H, W) int instead of 'features'.
+
+    ``ignore_zero`` drops label-0 votes before the argmax, matching the
+    reference's Counter aggregation (:349-355, ``c[0] != 0``): a point
+    seen as unlabeled in some frames takes the majority of its NON-zero
+    observations, and stays 0 only when it has none."""
     votes = np.zeros((len(points), num_classes), np.int32)
     for fr in frames:
         valid, pix = helper.project_points(points, fr["depth"], fr["pose"])
         lab = fr["labels"][pix[valid, 1], pix[valid, 0]]
         np.add.at(votes, (np.where(valid)[0], lab), 1)
+    if ignore_zero:
+        votes[:, 0] = 0
     out = votes.argmax(1)
     out[votes.sum(1) == 0] = 0
     return out
