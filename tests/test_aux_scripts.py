@@ -166,3 +166,33 @@ def test_multiview_scripts_end_to_end(frames_world):
     assert os.path.exists(ply)
     head = open(ply, "rb").read(400)
     assert b"element vertex 200" in head and b"red" in head
+
+
+def test_visualize_scene_cli(tmp_path):
+    """Scene data-integrity dump (reference data/scannet/visualize.py):
+    exported npy bundle -> colored obj/ply + per-GT-box cylinder meshes."""
+    from spacap3d_tpu.data.synthetic import write_synthetic_dataset
+
+    import visualize_scene
+
+    root = str(tmp_path / "data")
+    anns, scene_ids = write_synthetic_dataset(root, num_scenes=1, seed=7)
+    scene = scene_ids[0]
+    scene_dir = os.path.join(root, "scannet", "scannet_data")
+    if not os.path.exists(os.path.join(scene_dir,
+                                       scene + "_aligned_vert.npy")):
+        scene_dir = os.path.join(root, "scannet_data")
+    out_dir = str(tmp_path / "vis")
+    argv_bak = sys.argv
+    try:
+        sys.argv = ["x", "--scene_dir", scene_dir, "--scene_id", scene,
+                    "--out_dir", out_dir, "--color_by_instance"]
+        visualize_scene.main()
+    finally:
+        sys.argv = argv_bak
+    assert os.path.exists(os.path.join(out_dir, scene + ".obj"))
+    assert os.path.exists(os.path.join(out_dir, scene + ".ply"))
+    n_boxes = np.load(os.path.join(
+        scene_dir, scene + "_aligned_bbox.npy")).shape[0]
+    boxes = [f for f in os.listdir(out_dir) if "_gtbox_" in f]
+    assert len(boxes) == n_boxes
