@@ -26,17 +26,20 @@ def main(argv=None):
     args = parse_args(argv)
     from spacap3d_tpu.data.organize import organize, split_referit3d
 
-    anns = []
-    for split in ("train", "val"):
-        path = os.path.join(args.data_root, f"nr3d_{split}.json")
-        if os.path.exists(path):
-            anns += json.load(open(path))
+    paths = [os.path.join(args.data_root, f"nr3d_{s}.json")
+             for s in ("train", "val")]
     out = os.path.join(args.data_root, "nr3d_organized.json")
-    if anns:
+    if all(os.path.exists(p) for p in paths):
+        anns = [a for p in paths for a in json.load(open(p))]
         with open(out, "w") as f:
             json.dump(organize(anns), f, indent=4)
+    elif os.path.exists(args.csv):
+        # split writes the (train+val) organized file itself — the SAME
+        # content as the json path above, so this CLI is idempotent
+        split_referit3d(args.csv, args.data_root)
     else:
-        split_referit3d(args.csv, args.data_root)  # writes organized too
+        sys.exit(f"need nr3d_train.json + nr3d_val.json under "
+                 f"{args.data_root} or the csv at {args.csv}")
     print("Saving", out)
 
 

@@ -34,6 +34,10 @@ def main(argv=None):
                                 f"ScanRefer_filtered_{split}.json")
             if os.path.exists(path):
                 anns += json.load(open(path))
+    if not anns:
+        sys.exit(f"no ScanRefer annotation files under {args.data_root} "
+                 "(expected ScanRefer_filtered.json or the "
+                 "_train/_val split files)")
     out = os.path.join(args.data_root, "ScanRefer_filtered_organized.json")
     with open(out, "w") as f:
         json.dump(organize(anns), f, indent=4)

@@ -52,9 +52,11 @@ def main():
     import h5py
     import numpy as np
 
+    from spacap3d_tpu.data.projection import aggregate_frames_maxpool
+
     from spacap3d_tpu.data.projection import (
-        ProjectionHelper,
-        aggregate_frames_maxpool,
+        make_map_projection_helper,
+        resample_depth_to_map,
     )
 
     with h5py.File(args.out, "a") as out_f:
@@ -69,30 +71,27 @@ def main():
             intr = np.loadtxt(os.path.join(frame_dir, "intrinsic.txt")).reshape(4, 4)
 
             feat_dir = os.path.join(args.features_root, scene)
+            frame_files = sorted(os.listdir(feat_dir))
+            if not frame_files:
+                print(f"{scene}: no frames, skipping")
+                continue
             frames = []
             fm_dims = None
-            for f in sorted(os.listdir(feat_dir)):
+            depth_shape = None
+            for f in frame_files:
                 fid = os.path.splitext(f)[0]
                 feats = np.load(os.path.join(feat_dir, f))
                 depth = read_depth(os.path.join(frame_dir, "depth", fid + ".png"))
                 pose = read_pose(os.path.join(frame_dir, "pose", fid + ".txt"))
-                if fm_dims is None:
-                    fm_dims = (feats.shape[1], feats.shape[0])  # (W, H)
-                # resample depth to the feature-map grid
-                h, w = feats.shape[:2]
-                yi = (np.linspace(0, depth.shape[0] - 1, h)).astype(int)
-                xi = (np.linspace(0, depth.shape[1] - 1, w)).astype(int)
+                fm_dims = (feats.shape[1], feats.shape[0])  # (W, H)
+                depth_shape = depth.shape
                 frames.append({
                     "features": feats,
-                    "depth": depth[np.ix_(yi, xi)],
+                    "depth": resample_depth_to_map(depth, *feats.shape[:2]),
                     "pose": pose,
                 })
-            helper = ProjectionHelper(
-                ProjectionHelper.scale_intrinsic(
-                    intr, (depth.shape[1], depth.shape[0]), fm_dims
-                ),
-                args.depth_min, args.depth_max, fm_dims,
-            )
+            helper = make_map_projection_helper(
+                intr, depth_shape, fm_dims, args.depth_min, args.depth_max)
             agg = aggregate_frames_maxpool(points, frames, helper)
             out_f.create_dataset(scene, data=agg.astype("float32"),
                                  compression="gzip")

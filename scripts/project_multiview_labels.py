@@ -4,9 +4,10 @@
 Equivalent of reference scripts/project_multiview_labels.py: run the
 ENet classifier on each color frame (per-pixel NYU40 argmax at the 1/8
 feature-map resolution), project every frame's labels onto the exported
-scene points (frustum culling + depth consistency), aggregate by
-majority vote over frames with label 0 excluded (the reference's
---maxpool Counter loop, :300-357), and write
+scene points (frustum culling + depth consistency), aggregate — with
+--maxpool, by majority vote over frames with label 0 excluded (the
+reference's Counter loop, :345-355); without, first projection wins and
+later frames only fill still-unlabeled points (:340-344) — and write
 <out_root>/<scene_id>.ply colored by the standard ScanNet NYU40 palette
 (reference create_color_palette, :78-101).
 
@@ -45,8 +46,11 @@ def parse_args(argv=None):
     p.add_argument("--out_root", required=True)
     p.add_argument("--enet_ckpt", type=str, default="",
                    help=".pth (converted on the fly) or pickled params")
-    p.add_argument("--maxpool", action="store_true", default=True,
-                   help="majority-vote aggregation (reference flag name)")
+    p.add_argument("--maxpool", action="store_true",
+                   help="majority vote over frames, label 0 excluded "
+                        "(reference :345-355); default: first projection "
+                        "wins, later frames fill zeros (:340-344)")
+    p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--depth_min", type=float, default=0.1)
     p.add_argument("--depth_max", type=float, default=4.0)
     p.add_argument("--image_h", type=int, default=256)
@@ -63,8 +67,10 @@ def main(argv=None):
     from compute_multiview_features import load_image
     from project_multiview_features import read_depth, read_pose
     from spacap3d_tpu.data.projection import (
-        ProjectionHelper,
+        make_map_projection_helper,
+        project_labels_fill,
         project_labels_majority,
+        resample_depth_to_map,
     )
     from spacap3d_tpu.models.enet import enet_for_3d, init_enet
     from spacap3d_tpu.utils.visualize import write_ply
@@ -83,9 +89,10 @@ def main(argv=None):
                 payload = pickle.load(f)
             params, state = payload["params"], payload["state"]
 
-    # per-pixel argmax over the 41-class logits at the 1/8 map
+    # per-pixel argmax over the 41-class LOGITS (enet_for_3d returns
+    # (features, logits, state)) at the 1/8 map, batched over frames
     fwd = jax.jit(lambda p, s, x: jnp.argmax(
-        enet_for_3d(p, s, x, train=False)[0], axis=-1).astype(jnp.int32))
+        enet_for_3d(p, s, x, train=False)[1], axis=-1).astype(jnp.int32))
 
     scenes = ([args.scene_id] if args.scene_id != "-1"
               else sorted(os.listdir(args.frames_root)))
@@ -97,35 +104,42 @@ def main(argv=None):
         vert_path = os.path.join(args.scene_dir, scene + "_aligned_vert.npy")
         if not os.path.isdir(color_dir) or not os.path.exists(vert_path):
             continue
+        frame_files = sorted(os.listdir(color_dir))
+        if not frame_files:
+            print(f"{scene}: no frames, skipping")
+            continue
         points = np.load(vert_path)[:, :3]
         intr = np.loadtxt(os.path.join(frame_dir, "intrinsic.txt")).reshape(4, 4)
 
+        # batched ENet label inference over all frames
+        imgs = np.stack([
+            load_image(os.path.join(color_dir, f), args.image_h, args.image_w)
+            for f in frame_files
+        ])
+        label_maps = np.concatenate([
+            np.asarray(fwd(params, state, jnp.asarray(imgs[i:i + args.batch_size])))
+            for i in range(0, len(imgs), args.batch_size)
+        ])
+
         frames = []
-        fm_dims = None
-        for f in sorted(os.listdir(color_dir)):
+        depth_shape = None
+        for f, labels in zip(frame_files, label_maps):
             fid = os.path.splitext(f)[0]
-            img = load_image(os.path.join(color_dir, f),
-                             args.image_h, args.image_w)
-            labels = np.asarray(fwd(params, state, jnp.asarray(img[None])))[0]
             depth = read_depth(os.path.join(frame_dir, "depth", fid + ".png"))
-            pose = read_pose(os.path.join(frame_dir, "pose", fid + ".txt"))
-            if fm_dims is None:
-                fm_dims = (labels.shape[1], labels.shape[0])   # (W, H)
-            h, w = labels.shape[:2]
-            yi = np.linspace(0, depth.shape[0] - 1, h).astype(int)
-            xi = np.linspace(0, depth.shape[1] - 1, w).astype(int)
+            depth_shape = depth.shape
             frames.append({
                 "labels": labels,
-                "depth": depth[np.ix_(yi, xi)],
-                "pose": pose,
+                "depth": resample_depth_to_map(depth, *labels.shape[:2]),
+                "pose": read_pose(os.path.join(frame_dir, "pose", fid + ".txt")),
             })
-        helper = ProjectionHelper(
-            ProjectionHelper.scale_intrinsic(
-                intr, (depth.shape[1], depth.shape[0]), fm_dims),
-            args.depth_min, args.depth_max, fm_dims,
-        )
-        labels = project_labels_majority(points, frames, helper,
-                                         num_classes=41, ignore_zero=True)
+        fm_dims = (label_maps.shape[2], label_maps.shape[1])       # (W, H)
+        helper = make_map_projection_helper(
+            intr, depth_shape, fm_dims, args.depth_min, args.depth_max)
+        if args.maxpool:
+            labels = project_labels_majority(points, frames, helper,
+                                             num_classes=41, ignore_zero=True)
+        else:
+            labels = project_labels_fill(points, frames, helper)
         out = os.path.join(args.out_root, scene + ".ply")
         write_ply(points, out, colors=palette[np.clip(labels, 0, 40)])
         print(f"{scene}: {len(frames)} frames -> {out}")

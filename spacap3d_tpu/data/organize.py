@@ -71,8 +71,9 @@ def split_referit3d(
         json.dump(train, f)
     with open(os.path.join(out_dir, f"{prefix}_val.json"), "w") as f:
         json.dump(val, f)
-    organize_file(
-        os.path.join(out_dir, f"{prefix}_val.json"),
-        os.path.join(out_dir, f"{prefix}_organized.json"),
-    )
+    # organized file covers train+val, like the reference's
+    # organize_referit3d.py (it parses the WHOLE csv) — eval --use_train
+    # needs the train scenes' entries present
+    with open(os.path.join(out_dir, f"{prefix}_organized.json"), "w") as f:
+        json.dump(organize(train + val), f, indent=4)
     return train, val

@@ -175,6 +175,50 @@ def project_labels_majority(
     return out
 
 
+def project_labels_fill(
+    points: np.ndarray,
+    frames: List[Dict[str, np.ndarray]],
+    helper: ProjectionHelper,
+) -> np.ndarray:
+    """First-projection-wins label aggregation — the reference's
+    NON-maxpool mode (scripts/project_multiview_labels.py:340-344):
+    frame 0's projected labels seed the result; later frames only fill
+    points still labeled 0."""
+    out = np.zeros(len(points), np.int64)
+    for fr in frames:
+        valid, pix = helper.project_points(points, fr["depth"], fr["pose"])
+        lab = np.zeros(len(points), np.int64)
+        lab[valid] = fr["labels"][pix[valid, 1], pix[valid, 0]]
+        fill = out == 0
+        out[fill] = lab[fill]
+    return out
+
+
+def resample_depth_to_map(depth: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor resample of a full-resolution depth image onto an
+    (h, w) feature/label-map grid (shared by the multiview CLIs)."""
+    yi = np.linspace(0, depth.shape[0] - 1, h).astype(int)
+    xi = np.linspace(0, depth.shape[1] - 1, w).astype(int)
+    return depth[np.ix_(yi, xi)]
+
+
+def make_map_projection_helper(
+    intrinsic: np.ndarray,
+    depth_shape: Tuple[int, int],
+    fm_dims: Tuple[int, int],
+    depth_min: float,
+    depth_max: float,
+) -> ProjectionHelper:
+    """ProjectionHelper whose intrinsic is scaled from the depth image's
+    resolution to the (W, H) feature/label-map grid (shared by the
+    multiview CLIs)."""
+    return ProjectionHelper(
+        ProjectionHelper.scale_intrinsic(
+            intrinsic, (depth_shape[1], depth_shape[0]), fm_dims),
+        depth_min, depth_max, fm_dims,
+    )
+
+
 def write_multiview_hdf5(path: str, scene_features: Dict[str, np.ndarray]):
     import h5py
 

@@ -71,15 +71,18 @@ def test_split_and_organize_referit3d_cli(tmp_path):
     assert [a["ann_id"] for a in train] == ["0", "1"]   # per-object counter
     assert train[0]["object_name"] == "office_chair"
     assert val[0]["token"] == ["a", "round", "table"]
-    # organized file written by the split step (reference: separate script)
+    # organized file written by the split step covers train+val (the
+    # reference's organize_referit3d.py parses the WHOLE csv)
     org = json.load(open(os.path.join(root, "nr3d_organized.json")))
     assert org["scene0011_00"]["5"]["0"]["description"] == "A round table."
+    assert set(org) == {"scene0000_00", "scene0011_00"}
 
-    # the standalone organize CLI reproduces it from the split jsons
+    # the standalone organize CLI reproduces the IDENTICAL file from the
+    # split jsons (idempotent across its two input paths)
     os.remove(os.path.join(root, "nr3d_organized.json"))
     organize_referit3d.main(["--csv", csv_path, "--data_root", root])
     org2 = json.load(open(os.path.join(root, "nr3d_organized.json")))
-    assert set(org2) == {"scene0000_00", "scene0011_00"}
+    assert org2 == org
 
 
 @pytest.fixture()
@@ -166,6 +169,50 @@ def test_multiview_scripts_end_to_end(frames_world):
     assert os.path.exists(ply)
     head = open(ply, "rb").read(400)
     assert b"element vertex 200" in head and b"red" in head
+
+
+def test_project_labels_uses_classifier_logits(frames_world):
+    """The projected labels must come from the 41-class CLASSIFIER
+    logits, not the 128-channel feature map: force the classifier to
+    always predict class 40 via a crafted checkpoint (zero 1x1 kernel,
+    bias peaked at 40 — a value no in-range feature argmax could produce
+    for every pixel) and assert every labeled point renders with
+    palette[40]. Also covers the default first-projection-wins mode
+    (no --maxpool)."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    import project_multiview_labels
+    from spacap3d_tpu.models.enet import ENET_CLASSIFIER_KEY, init_enet
+
+    root, scene, scene_dir, frames_root, (h, w) = frames_world
+    params, state = init_enet(jax.random.PRNGKey(0))
+    kern = params[ENET_CLASSIFIER_KEY]["kernel"]        # (1, 1, 128, 41)
+    bias = np.zeros((41,), np.float32)
+    bias[40] = 10.0
+    params[ENET_CLASSIFIER_KEY] = {"kernel": jnp.zeros_like(kern),
+                                   "bias": jnp.asarray(bias)}
+    ckpt = os.path.join(root, "forced_enet.pkl")
+    with open(ckpt, "wb") as f:
+        pickle.dump({"params": params, "state": state}, f)
+
+    ply_root = os.path.join(root, "label_ply_forced")
+    project_multiview_labels.main([
+        "--scene_id", scene, "--scene_dir", scene_dir,
+        "--frames_root", frames_root, "--out_root", ply_root,
+        "--image_h", str(h), "--image_w", str(w),
+        "--enet_ckpt", ckpt,
+    ])
+    data = open(os.path.join(ply_root, scene + ".ply")).read()
+    lines = data.split("end_header\n", 1)[1].strip().splitlines()
+    colors = np.array([ln.split()[3:6] for ln in lines], int)
+    assert colors.shape == (200, 3)
+    want = np.asarray(project_multiview_labels.NYU40_PALETTE[40], int)
+    labeled = (colors != 0).any(1)
+    assert labeled.sum() > 100                  # most points project
+    assert (colors[labeled] == want).all()
 
 
 def test_visualize_scene_cli(tmp_path):
