@@ -63,6 +63,10 @@ def parse_args(argv=None):
                         "scan stages once every row has emitted EOS — "
                         "caption-level outputs identical, ~25%% faster eval "
                         "forward on trained models")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree (parallel/tp.py): shard the "
+                        "captioner's transformer weights over a 'model' mesh "
+                        "axis — capacity feature for scaled-up configs")
     # 1:1 reference flag aliases (reference eval.py:386-387,406) so a
     # reference command line pasted verbatim parses and does the same thing
     p.add_argument("--eval_caption", action="store_true",
@@ -155,8 +159,21 @@ def main(argv=None):
     import math
     grid_mode = args.mul_eval and not args.detection_only and not args.serial_mul_eval
     eff_batch = args.batch_size if grid_mode else min(args.batch_size, len(ds))
-    n_dev = math.gcd(len(jax.devices()), eff_batch)
-    mesh = make_mesh(jax.devices()[:n_dev]) if n_dev > 1 else None
+    if args.tp > 1:
+        # 2-D (data, model) mesh (parallel/tp.py): TP-shard the captioner
+        # for scaled-up configs; the decode's per-block all-reduces ride
+        # the fast mesh axis. shard_params below places the loaded params.
+        from spacap3d_tpu.parallel.tp import make_tp_mesh, shard_params
+
+        if len(jax.devices()) % args.tp:
+            raise SystemExit(
+                f"--tp {args.tp} does not divide {len(jax.devices())} devices")
+        n_data = math.gcd(len(jax.devices()) // args.tp, eff_batch)
+        mesh = make_tp_mesh(jax.devices()[: n_data * args.tp], tp=args.tp)
+        params = shard_params(mesh, params)
+    else:
+        n_dev = math.gcd(len(jax.devices()), eff_batch)
+        mesh = make_mesh(jax.devices()[:n_dev]) if n_dev > 1 else None
     # grid mode never reads corners/centers on the host: the compact step
     # fetches 4x fewer bytes per batch (the d2h pipe bounds e2e mul_eval)
     eval_step = make_eval_step(model_cfg, mesh=mesh, compact=grid_mode)

@@ -78,6 +78,12 @@ def parse_args(argv=None):
     p.add_argument("--arch_preset", type=str, default="full",
                    choices=["full", "tiny"],
                    help="'tiny' shrinks the trunk/captioner for smoke tests")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree: shard the captioner's "
+                        "transformer weights over a 'model' mesh axis "
+                        "(parallel/tp.py). 1 = pure data parallelism. "
+                        "Capacity feature for scaled-up d_model/d_ff; the "
+                        "reference has no TP (DataParallel only).")
     return p.parse_args(argv)
 
 
@@ -226,12 +232,26 @@ def main(argv=None):
     # mesh over the largest device count that divides the batch
     import math
 
-    n_dev = math.gcd(len(jax.devices()), args.batch_size)
     batch = args.batch_size
-    mesh = make_mesh(jax.devices()[:n_dev]) if n_dev > 1 else None
-    if n_dev < len(jax.devices()):
-        print(f"using {n_dev}/{len(jax.devices())} devices "
-              f"(batch {batch} divisibility)")
+    if args.tp > 1:
+        # 2-D (data, model) mesh: captioner weights shard over 'model'
+        # (parallel/tp.py), batch over 'data'. The data axis still has to
+        # divide the batch; tp has to divide the device count.
+        from spacap3d_tpu.parallel.tp import make_tp_mesh
+
+        if len(jax.devices()) % args.tp:
+            raise SystemExit(
+                f"--tp {args.tp} does not divide {len(jax.devices())} devices"
+            )
+        n_data = math.gcd(len(jax.devices()) // args.tp, batch)
+        mesh = make_tp_mesh(jax.devices()[: n_data * args.tp], tp=args.tp)
+        print(f"mesh (data={n_data}, model={args.tp})")
+    else:
+        n_dev = math.gcd(len(jax.devices()), batch)
+        mesh = make_mesh(jax.devices()[:n_dev]) if n_dev > 1 else None
+        if n_dev < len(jax.devices()):
+            print(f"using {n_dev}/{len(jax.devices())} devices "
+                  f"(batch {batch} divisibility)")
 
     train_loader = DataLoader(train_ds, batch, shuffle=True, seed=args.seed,
                               num_workers=args.num_workers)

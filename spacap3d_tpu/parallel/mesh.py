@@ -8,9 +8,11 @@ inserts the gradient all-reduce over ICI. Evaluation shards scenes (and
 the B*K proposal-decode rows with them) across the same axis — that is
 the source of the multi-chip eval speedup (SURVEY.md §7 stage 8).
 
-The model is ~10 M params, so tensor/pipeline parallelism are explicit
-non-goals (SURVEY.md §2.6); the mesh abstraction still leaves room for a
-``model`` axis later.
+The model is ~10 M params, so data parallelism is the production layout;
+for scaled-up transformer configs an opt-in ``model`` axis (Megatron-
+style tensor parallelism over the captioner) lives in ``parallel/tp.py``
+— build the 2-D mesh with ``make_tp_mesh`` and place the params with
+``shard_params``.
 """
 from __future__ import annotations
 

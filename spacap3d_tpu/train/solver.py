@@ -26,6 +26,7 @@ import numpy as np
 from spacap3d_tpu.config import RunConfig
 from spacap3d_tpu.eval.eval_helper import eval_cap
 from spacap3d_tpu.parallel.mesh import shard_batch
+from spacap3d_tpu.parallel.tp import shard_params, tp_degree
 from spacap3d_tpu.train.step import (
     TrainState,
     init_train_state,
@@ -86,7 +87,20 @@ class Solver:
         self.ckpt = AsyncCheckpointer()
 
         steps_per_epoch = len(train_loader)
-        self.tx = make_optimizer(params, self.tc, steps_per_epoch)
+        tp = tp_degree(mesh)
+        if tp > 1:
+            # Tensor parallelism (parallel/tp.py): commit the captioner
+            # blocks to the ``model`` axis BEFORE tx.init so the Adam
+            # moments (zeros_like) inherit the layout. The flat-grouped
+            # optimizer would concatenate mixed-layout leaves into one
+            # vector, so TP runs the per-leaf chain (same updates,
+            # equality-tested in tests/test_train_e2e.py).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            params = shard_params(mesh, params)
+            state = jax.device_put(state, NamedSharding(mesh, P()))
+        self.tx = make_optimizer(params, self.tc, steps_per_epoch,
+                                 flat=(tp == 1))
         self.train_state = init_train_state(params, state, self.tx)
         self.train_step = make_train_step(
             self.mc, self.tc, self.tx, mesh=mesh, donate=True
@@ -133,10 +147,25 @@ class Solver:
         payload = load_checkpoint(path)
         from spacap3d_tpu.utils.convert import np_to_jax
 
-        self.train_state = TrainState(
-            np_to_jax(payload["params"]), np_to_jax(payload["state"]),
-            np_to_jax(payload["opt_state"]), payload["step"],
-        )
+        params = np_to_jax(payload["params"])
+        state = np_to_jax(payload["state"])
+        opt = np_to_jax(payload["opt_state"])
+        if tp_degree(self.mesh) > 1:
+            # Re-commit the TP layout: checkpoints snapshot to host numpy,
+            # so a restored-under-TP run must place the captioner shards
+            # back on the ``model`` axis. The optimizer state mirrors the
+            # param tree inside optax's structures — a fresh tx.init on
+            # the placed params is a sharding template with the identical
+            # treedef, so place each loaded leaf where its twin lives.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            params = shard_params(self.mesh, params)
+            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+            template = self.tx.init(params)
+            opt = jax.tree_util.tree_map(
+                lambda x, t: jax.device_put(x, t.sharding), opt, template
+            )
+        self.train_state = TrainState(params, state, opt, payload["step"])
         # checkpoint snapshots pass every leaf through np.asarray — cast
         # the python-scalar bookkeeping back to native types, or the 0-d
         # arrays poison json.dump in dump_scalars / info.json later

@@ -189,7 +189,16 @@ def make_train_step(
         new_params = optax.apply_updates(ts.params, updates)
         return TrainState(new_params, new_state, new_opt, ts.step + 1), metrics
 
-    if mesh is not None:
+    if mesh is not None and "model" in mesh.shape and mesh.shape["model"] > 1:
+        # Tensor-parallel mode (parallel/tp.py): the caller placed the
+        # params with shard_params (transformer blocks split over the
+        # ``model`` axis) and the batch with shard_batch (split over
+        # ``data``). Leave shardings unspecified so GSPMD propagates the
+        # committed layouts and inserts the per-block all-reduces — the
+        # opt state (use make_optimizer(flat=False) under TP) and grads
+        # inherit the param layout.
+        step = jax.jit(step, donate_argnums=(0,) if donate else ())
+    elif mesh is not None:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
         step = jax.jit(

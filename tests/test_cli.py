@@ -93,6 +93,25 @@ def test_train_and_eval_cli(data_root, tmp_path):
     fast = open(os.path.join(run_root, "fast_results.csv")).read()
     alias = open(os.path.join(run_root, "alias_results.csv")).read()
     assert fast == alias
+
+    # --tp 2 (tensor parallelism, parallel/tp.py): the TP-sharded captioner
+    # must reproduce the replicated run's caption metrics (greedy argmax is
+    # robust to the split-contraction reassociation at tiny scale; exact
+    # token equality is pinned in tests/test_tp.py)
+    eval_cli.main([
+        "--folder", runs[0], "--data_root", data_root,
+        "--output_dir", out_dir, "--batch_size", "4", "--num_workers", "1",
+        "--eval_tag", "tp", "--eval_caption", "--use_last", "--tp", "2",
+    ])
+    assert open(os.path.join(run_root, "tp_results.csv")).read() == alias
+    # a tp degree that does not divide the device count exits cleanly
+    with pytest.raises(SystemExit, match="does not divide"):
+        eval_cli.main([
+            "--folder", runs[0], "--data_root", data_root,
+            "--output_dir", out_dir, "--batch_size", "4",
+            "--num_workers", "1", "--eval_tag", "tpbad", "--eval_caption",
+            "--use_last", "--tp", "3",
+        ])
     # alias resolution table
     a = eval_cli.parse_args(["--folder", "x", "--eval_detection"])
     assert a.detection_only and a.checkpoint == "model.ckpt"
