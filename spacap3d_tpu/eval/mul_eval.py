@@ -268,8 +268,10 @@ def mul_eval_grid(
     ``timing_out``: optional dict filled with phase wall-clocks
     ({'table_s': one-time point-table build+upload, 'stream_s':
     loader+device+postprocess overlap, 'consume_s': summed host
-    post-processing time across pool threads, 'score_s': per-seed
-    capeval+AP scoring}).
+    post-processing time across pool threads — split into 'fetch_s'
+    (device_get blocking, tunnel-bound on a remote TPU) + 'post_s'
+    (host numpy/NMS/IoU/decode work), 'score_s': per-seed capeval+AP
+    scoring}).
 
     ``point_table``: 'auto' (default) keeps the per-scene clouds
     device-resident and ships only uint16 subsample indices per row
@@ -310,6 +312,12 @@ def mul_eval_grid(
                         keys=grid_keys, indices_mode=tables is not None)
     lock = threading.Lock()
     consume_s = [0.0]
+    # consume_s sub-phases (summed across pool threads, like consume_s):
+    # fetch_s = device_get blocking (tunnel-bound through a remote TPU),
+    # post_s = host numpy/NMS/IoU/decode work. A slow e2e window with
+    # fetch_s inflated and post_s flat is the tunnel, not the pipeline.
+    fetch_s = [0.0]
+    post_s = [0.0]
     rows_per_seed = len(dataset)
     seed_done_rows = {s: 0 for s in seeds}
     score_pool = ThreadPoolExecutor(max_workers=max(1, score_workers))
@@ -333,6 +341,7 @@ def mul_eval_grid(
         # one batched host fetch (async copy of every leaf, then block) —
         # per-leaf np.asarray costs a tunnel round-trip per output array
         out = _jax.device_get(out)
+        _t_fetched = _time.perf_counter()
         captions = out["lang_cap"]
         bsize = captions.shape[0]
         row_valid = batch["__valid__"].astype(bool)
@@ -365,7 +374,10 @@ def mul_eval_grid(
                 seed_done_rows[seed] += 1
                 if seed_done_rows[seed] == rows_per_seed:
                     _submit_seed(seed)
-            consume_s[0] += _time.perf_counter() - _t0
+            _t_end = _time.perf_counter()
+            consume_s[0] += _t_end - _t0
+            fetch_s[0] += _t_fetched - _t0
+            post_s[0] += _t_end - _t_fetched
 
     # software pipeline: host post-processing of finished batches overlaps
     # the device compute of in-flight ones (jax dispatch is async;
@@ -418,6 +430,7 @@ def mul_eval_grid(
     if timing_out is not None:
         timing_out.update(table_s=_table_s, point_table=tables is not None,
                           stream_s=_stream_s, consume_s=consume_s[0],
+                          fetch_s=fetch_s[0], post_s=post_s[0],
                           score_s=_time.perf_counter() - _score_t0)
 
     return [{"seed": int(s), **m} for s, m in zip(seeds, scored)]

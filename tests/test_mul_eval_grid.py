@@ -137,6 +137,12 @@ def test_grid_metrics_equal_serial(setup):
     # (a silent fallback to per-row upload would make this test vacuous
     # for the indices mode)
     assert timing["point_table"] is True
+    # consume_s must decompose into its attribution sub-phases (device
+    # fetch blocking vs host post-processing) — the bench JSON relies on
+    # these to attribute a slow e2e window to the tunnel vs the pipeline
+    assert timing["fetch_s"] + timing["post_s"] == pytest.approx(
+        timing["consume_s"], rel=1e-6
+    )
     assert len(grid_rows) == len(SEEDS)
     for want, got in zip(serial_rows, grid_rows):
         got = dict(got)
