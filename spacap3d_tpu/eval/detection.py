@@ -190,7 +190,13 @@ def _pred_mask(ep: Dict[str, np.ndarray], config: Dict):
         box_lo = np.asarray(ep["bbox_lo"])
         box_hi = np.asarray(ep["bbox_hi"])
     bsize, k = box_lo.shape[:2]
-    sem_cls = np.asarray(ep["sem_cls"])                  # (B, K)
+    if "sem_cls" in ep:
+        sem_cls = np.asarray(ep["sem_cls"])              # (B, K)
+    else:
+        # compact eval step: sem_cls is argmax(sem_cls_scores) on the
+        # device; recomputing it here on the identical fetched f32 scores
+        # (same first-max tie rule) saves fetching a (B, K) tensor
+        sem_cls = np.argmax(np.asarray(ep["sem_cls_scores"]), axis=-1)
     sem_probs = softmax_np(np.asarray(ep["sem_cls_scores"]))
     obj_prob = softmax_np(np.asarray(ep["objectness_scores"]))[:, :, 1]
 

@@ -44,6 +44,12 @@ from spacap3d_tpu.train.step import eval_input_batch
 import jax as _jax
 
 
+def _async_fetch_enabled() -> bool:
+    import os
+
+    return os.environ.get("SPACAP_GRID_ASYNC_FETCH", "1") != "0"
+
+
 class GridLoader:
     """Iterates the flattened (seed x dataset item) grid in fixed-size
     batches. Every item is built with an RNG keyed by (seed, idx) — the
@@ -270,8 +276,9 @@ def mul_eval_grid(
     loader+device+postprocess overlap, 'consume_s': summed host
     post-processing time across pool threads — split into 'fetch_s'
     (device_get blocking, tunnel-bound on a remote TPU) + 'post_s'
-    (host numpy/NMS/IoU/decode work), 'score_s': per-seed capeval+AP
-    scoring}).
+    (lock-free host numpy/NMS/IoU/decode work) + 'lock_s' (waiting for
+    and holding the shared bookkeeping lock), 'score_s': per-seed
+    capeval+AP scoring}).
 
     ``point_table``: 'auto' (default) keeps the per-scene clouds
     device-resident and ships only uint16 subsample indices per row
@@ -314,10 +321,13 @@ def mul_eval_grid(
     consume_s = [0.0]
     # consume_s sub-phases (summed across pool threads, like consume_s):
     # fetch_s = device_get blocking (tunnel-bound through a remote TPU),
-    # post_s = host numpy/NMS/IoU/decode work. A slow e2e window with
-    # fetch_s inflated and post_s flat is the tunnel, not the pipeline.
+    # post_s = lock-free host numpy/NMS/IoU/decode work, lock_s = waiting
+    # for + holding the shared bookkeeping lock (candidate/AP updates).
+    # A slow e2e window with fetch_s inflated and post_s/lock_s flat is
+    # the tunnel, not the pipeline.
     fetch_s = [0.0]
     post_s = [0.0]
+    lock_s = [0.0]
     rows_per_seed = len(dataset)
     seed_done_rows = {s: 0 for s in seeds}
     score_pool = ThreadPoolExecutor(max_workers=max(1, score_workers))
@@ -366,6 +376,7 @@ def mul_eval_grid(
             caps = {key: [vocab.decode(captions[b, k])]
                     for key, k in final_k.items()}
             updates.append((seed, caps, b))
+        _t_post = _time.perf_counter()
         with lock:
             for seed, caps, b in updates:
                 candidates[seed].update(caps)
@@ -377,7 +388,8 @@ def mul_eval_grid(
             _t_end = _time.perf_counter()
             consume_s[0] += _t_end - _t0
             fetch_s[0] += _t_fetched - _t0
-            post_s[0] += _t_end - _t_fetched
+            post_s[0] += _t_post - _t_fetched
+            lock_s[0] += _t_end - _t_post
 
     # software pipeline: host post-processing of finished batches overlaps
     # the device compute of in-flight ones (jax dispatch is async;
@@ -403,6 +415,21 @@ def mul_eval_grid(
                     if batch_to_device:
                         dev_batch = batch_to_device(dev_batch)
                 out = eval_step(params, state, dev_batch)
+                # Start the D2H copy of every output leaf NOW (non-
+                # blocking): PJRT queues each transfer to begin the moment
+                # its buffer is computed, so transfers overlap both the
+                # device compute of later batches and each other. By the
+                # time a consume thread calls device_get, the bytes are on
+                # the host (or in flight) instead of paying a blocking
+                # tunnel round-trip per batch — this is what keeps >2
+                # fetches in flight through a remote-attached TPU.
+                # (SPACAP_GRID_ASYNC_FETCH=0 disables, for A/B timing.)
+                if _async_fetch_enabled():
+                    for leaf in _jax.tree_util.tree_leaves(out):
+                        copy_async = getattr(leaf, "copy_to_host_async", None)
+                        if copy_async is None:
+                            break
+                        copy_async()
                 futures.append(pool.submit(consume, batch, out))
                 # bound in-flight device batches / host backlog
                 while len([f for f in futures if not f.done()]) > 8:
@@ -431,6 +458,8 @@ def mul_eval_grid(
         timing_out.update(table_s=_table_s, point_table=tables is not None,
                           stream_s=_stream_s, consume_s=consume_s[0],
                           fetch_s=fetch_s[0], post_s=post_s[0],
+                          lock_s=lock_s[0],
                           score_s=_time.perf_counter() - _score_t0)
 
     return [{"seed": int(s), **m} for s, m in zip(seeds, scored)]
+

@@ -243,7 +243,11 @@ def make_eval_step(cfg: ModelConfig, mesh=None, with_caption_decode=True,
         bigger 8-corner tensor (min/max are exact; every host decision
         — NMS, IoU matching, AP — consumes only extents);
       * ``lang_cap`` ships as uint16 when the vocab fits (token ids are
-        exact integers either way);
+        exact integers either way); ``bbox_mask`` as bool and
+        ``object_assignment`` as uint16 (exact: hosts only != 0 test /
+        index with them);
+      * ``sem_cls`` is not shipped at all — the host recomputes
+        argmax(sem_cls_scores) on the identical fetched f32 scores;
       * outputs the grid consumer never reads (center,
         aggregated_vote_xyz, objectness_label) are dropped.
     Decision bit-identity with the full-fetch path is pinned by the
@@ -253,9 +257,12 @@ def make_eval_step(cfg: ModelConfig, mesh=None, with_caption_decode=True,
 
     # keys consumed by the host-side eval pipeline
     if compact:
+        # sem_cls is NOT fetched: it is argmax(sem_cls_scores) on identical
+        # f32 values, so the host recomputes it for free (detection.py
+        # _pred_mask) — same first-max tie rule, bit-equal decision.
         out_keys = (
             "lang_cap", "bbox_lo", "bbox_hi", "bbox_mask",
-            "objectness_scores", "sem_cls_scores", "sem_cls",
+            "objectness_scores", "sem_cls_scores",
             "object_assignment", "nonempty_box",
         )
     else:
@@ -319,6 +326,11 @@ def make_eval_step(cfg: ModelConfig, mesh=None, with_caption_decode=True,
             ep["bbox_hi"] = jnp.max(ep["bbox_corner"], axis=2)
             if "lang_cap" in ep and cfg.vocab_size < 65536:
                 ep["lang_cap"] = ep["lang_cap"].astype(jnp.uint16)
+            # exact integer/boolean narrowing (host consumers only test
+            # != 0 / index with these): 4x + 2x fewer bytes on the fetch
+            ep["bbox_mask"] = ep["bbox_mask"] != 0
+            ep["object_assignment"] = ep["object_assignment"].astype(
+                jnp.uint16)
         return {k: ep[k] for k in out_keys if k in ep}
 
     # No explicit in_shardings: the computation follows the argument

@@ -138,11 +138,11 @@ def test_grid_metrics_equal_serial(setup):
     # for the indices mode)
     assert timing["point_table"] is True
     # consume_s must decompose into its attribution sub-phases (device
-    # fetch blocking vs host post-processing) — the bench JSON relies on
-    # these to attribute a slow e2e window to the tunnel vs the pipeline
-    assert timing["fetch_s"] + timing["post_s"] == pytest.approx(
-        timing["consume_s"], rel=1e-6
-    )
+    # fetch blocking vs lock-free host post-processing vs lock-held
+    # bookkeeping) — the bench JSON relies on these to attribute a slow
+    # e2e window to the tunnel vs the pipeline
+    assert timing["fetch_s"] + timing["post_s"] + timing["lock_s"] == \
+        pytest.approx(timing["consume_s"], rel=1e-6)
     assert len(grid_rows) == len(SEEDS)
     for want, got in zip(serial_rows, grid_rows):
         got = dict(got)
