@@ -63,10 +63,18 @@ def parse_args(argv=None):
                         "scan stages once every row has emitted EOS — "
                         "caption-level outputs identical, ~25%% faster eval "
                         "forward on trained models")
+    p.add_argument("--multihost", action="store_true",
+                   help="run --mul_eval across a multi-process JAX "
+                        "runtime (jax.distributed): seeds shard across "
+                        "processes, each process streams its own grid on "
+                        "its local devices, per-seed rows merge by "
+                        "all-gather. See docs/SCALING.md.")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree (parallel/tp.py): shard the "
-                        "captioner's transformer weights over a 'model' mesh "
-                        "axis — capacity feature for scaled-up configs")
+                        "CAPTIONER's transformer weights over a 'model' mesh "
+                        "axis — capacity feature for scaled-up d_model/d_ff/"
+                        "N/h only; the detector trunk stays replicated by "
+                        "design")
     # 1:1 reference flag aliases (reference eval.py:386-387,406) so a
     # reference command line pasted verbatim parses and does the same thing
     p.add_argument("--eval_caption", action="store_true",
@@ -97,6 +105,12 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
 
+    process_index, process_count = 0, 1
+    if args.multihost:
+        # must run before any other device use so the runtime is global
+        from spacap3d_tpu.parallel.multihost import initialize_from_env
+
+        process_index, process_count = initialize_from_env()
     import jax
 
     from spacap3d_tpu.utils.logging import enable_compilation_cache
@@ -172,8 +186,12 @@ def main(argv=None):
         mesh = make_tp_mesh(jax.devices()[: n_data * args.tp], tp=args.tp)
         params = shard_params(mesh, params)
     else:
-        n_dev = math.gcd(len(jax.devices()), eff_batch)
-        mesh = make_mesh(jax.devices()[:n_dev]) if n_dev > 1 else None
+        # multi-host grid eval is seed-sharded: each process streams its
+        # own grid on its LOCAL devices (mul_eval_grid_multihost), so the
+        # mesh here is per-process either way
+        local = jax.local_devices() if process_count > 1 else jax.devices()
+        n_dev = math.gcd(len(local), eff_batch)
+        mesh = make_mesh(local[:n_dev]) if n_dev > 1 else None
     # grid mode never reads corners/centers on the host: the compact step
     # fetches 4x fewer bytes per batch (the d2h pipe bounds e2e mul_eval)
     eval_step = make_eval_step(model_cfg, mesh=mesh, compact=grid_mode)
@@ -220,32 +238,40 @@ def main(argv=None):
             organize_annotations,
             prepare_corpus,
         )
-        from spacap3d_tpu.eval.mul_eval import mul_eval_grid
+        from spacap3d_tpu.eval.mul_eval import (
+            mul_eval_grid,
+            mul_eval_grid_multihost,
+        )
 
         corpus_cache = os.path.join(root, f"corpus_{phase}.json")
         if os.path.exists(corpus_cache):
             corpus = json.load(open(corpus_cache))
         else:
             corpus = prepare_corpus(val_anns)
-            json.dump(corpus, open(corpus_cache, "w"), indent=4)
+            if process_index == 0:
+                json.dump(corpus, open(corpus_cache, "w"), indent=4)
         table_put = None
         if mesh:
             from jax.sharding import NamedSharding, PartitionSpec
             repl = NamedSharding(mesh, PartitionSpec())
             table_put = lambda x: jax.device_put(x, repl)  # noqa: E731
-        rows = mul_eval_grid(
+        grid_fn = mul_eval_grid_multihost if process_count > 1 \
+            else mul_eval_grid
+        rows = grid_fn(
             eval_step, params, state, ds, vocab, dc, corpus,
             organize_annotations(val_anns), list(seeds), eff_batch,
             min_iou=args.min_iou,
             also_detection=not args.no_detection_eval,
             batch_to_device=to_dev, table_to_device=table_put,
             num_workers=args.num_workers,
-            progress=lambda i, n: print(f"\rgrid batch {i}/{n}", end="",
-                                        flush=True),
+            progress=(lambda i, n: print(f"\rgrid batch {i}/{n}", end="",
+                                         flush=True))
+            if process_index == 0 else None,
         )
-        print()
-        for row in rows:
-            print(json.dumps(row))
+        if process_index == 0:
+            print()
+            for row in rows:
+                print(json.dumps(row))
         seeds = []
     for seed in seeds:
         loader = DataLoader(ds, min(args.batch_size, len(ds)), shuffle=False,
@@ -271,6 +297,9 @@ def main(argv=None):
                                 if isinstance(v, (int, float))}}
         rows.append(row)
         print(json.dumps(row))
+
+    if process_index != 0:
+        return  # process 0 owns the CSV/summary output
 
     csv_path = os.path.join(root, f"{args.eval_tag}_results.csv")
     with open(csv_path, "w", newline="") as f:

@@ -78,12 +78,22 @@ def parse_args(argv=None):
     p.add_argument("--arch_preset", type=str, default="full",
                    choices=["full", "tiny"],
                    help="'tiny' shrinks the trunk/captioner for smoke tests")
+    p.add_argument("--multihost", action="store_true",
+                   help="join a multi-process JAX runtime "
+                        "(jax.distributed; auto-detected on TPU pods, or "
+                        "set SPACAP_COORDINATOR/SPACAP_NUM_PROCESSES/"
+                        "SPACAP_PROCESS_ID). Each process loads its "
+                        "row-block of every global batch; the train step "
+                        "runs on the global data-parallel mesh. See "
+                        "docs/SCALING.md.")
     p.add_argument("--tp", type=int, default=1,
-                   help="tensor-parallel degree: shard the captioner's "
+                   help="tensor-parallel degree: shard the CAPTIONER's "
                         "transformer weights over a 'model' mesh axis "
                         "(parallel/tp.py). 1 = pure data parallelism. "
-                        "Capacity feature for scaled-up d_model/d_ff; the "
-                        "reference has no TP (DataParallel only).")
+                        "Capacity feature for scaled-up d_model/d_ff/N/h "
+                        "ONLY — the detector trunk stays replicated by "
+                        "design (its cost is activations, which shard "
+                        "with the data axis). The reference has no TP.")
     return p.parse_args(argv)
 
 
@@ -167,6 +177,12 @@ def build_configs(args):
 def main(argv=None):
     args = parse_args(argv)
 
+    process_index, process_count = 0, 1
+    if args.multihost:
+        # must run before any other device use so jax.devices() is global
+        from spacap3d_tpu.parallel.multihost import initialize_from_env
+
+        process_index, process_count = initialize_from_env()
     import jax
 
     from spacap3d_tpu.utils.logging import enable_compilation_cache
@@ -246,6 +262,19 @@ def main(argv=None):
         n_data = math.gcd(len(jax.devices()) // args.tp, batch)
         mesh = make_tp_mesh(jax.devices()[: n_data * args.tp], tp=args.tp)
         print(f"mesh (data={n_data}, model={args.tp})")
+    elif process_count > 1:
+        # multi-host: the GLOBAL mesh over every process's devices; the
+        # global batch must shard over both the device count and the
+        # process count (each process builds its contiguous row-block)
+        n_dev = len(jax.devices())
+        if batch % n_dev or batch % process_count:
+            raise SystemExit(
+                f"--multihost: global batch {batch} must divide over "
+                f"{n_dev} global devices and {process_count} processes")
+        mesh = make_mesh(jax.devices())
+        if process_index == 0:
+            print(f"multihost mesh: {process_count} processes x "
+                  f"{n_dev // process_count} devices = {n_dev}")
     else:
         n_dev = math.gcd(len(jax.devices()), batch)
         mesh = make_mesh(jax.devices()[:n_dev]) if n_dev > 1 else None
@@ -254,7 +283,9 @@ def main(argv=None):
                   f"(batch {batch} divisibility)")
 
     train_loader = DataLoader(train_ds, batch, shuffle=True, seed=args.seed,
-                              num_workers=args.num_workers)
+                              num_workers=args.num_workers,
+                              process_index=process_index,
+                              process_count=process_count)
     val_loader = DataLoader(val_ds, min(batch, len(val_ds)), shuffle=False,
                             num_workers=args.num_workers)
     train_eval_loader = None
@@ -288,6 +319,12 @@ def main(argv=None):
         datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
         + (f"_{args.tag.upper()}" if args.tag else "")
     )
+    if process_count > 1:
+        # every process must agree on the run directory (clocks differ);
+        # process 0's stamp wins
+        from spacap3d_tpu.parallel.multihost import allgather_pyobj
+
+        stamp = allgather_pyobj(stamp)[0]
     solver = Solver(
         run_cfg, params, state, train_loader, val_loader, train_ds, val_ds,
         vocab, dc, eval_val_anns_full, stamp, mesh=mesh,
@@ -301,8 +338,9 @@ def main(argv=None):
                                     "model_last.ckpt"))
 
     root = solver.root
-    os.makedirs(root, exist_ok=True)
-    run_cfg.save(os.path.join(root, "config.json"))
+    if process_index == 0:
+        os.makedirs(root, exist_ok=True)
+        run_cfg.save(os.path.join(root, "config.json"))
     info = dict(vars(args))
     info.update(num_train=len(train_ds), num_eval_val=len(val_ds),
                 num_train_scenes=len(train_scenes),

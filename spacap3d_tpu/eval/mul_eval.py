@@ -463,3 +463,36 @@ def mul_eval_grid(
 
     return [{"seed": int(s), **m} for s, m in zip(seeds, scored)]
 
+
+def mul_eval_grid_multihost(
+    eval_step, params, state,
+    dataset, vocab: Vocabulary, dc: ScannetDatasetConfig,
+    corpus: Dict, organized: Dict,
+    seeds: Sequence[int],
+    batch_size: int,
+    **kwargs,
+) -> List[Dict]:
+    """Multi-process mul_eval: the grid shards by SEED across processes
+    (parallel/multihost.py). Each process runs a fully independent local
+    grid stream — its own GridLoader, device dispatch, host post-
+    processing and per-seed scoring on its own devices/cores — and the
+    per-seed rows are merged with one all-gather at the end. Rows are
+    bit-identical to the single-process run because a seed's entire
+    pipeline (RNG schedule included) is process-local (pinned by
+    tests/test_multihost.py on a real 2-process CPU cluster).
+
+    Every process returns the SAME full row list in ``seeds`` order.
+    With ``process_count() == 1`` this is exactly ``mul_eval_grid``."""
+    from spacap3d_tpu.parallel.multihost import allgather_pyobj, process_shard
+
+    local_seeds = process_shard(list(seeds))
+    local_rows = (
+        mul_eval_grid(eval_step, params, state, dataset, vocab, dc,
+                      corpus, organized, local_seeds, batch_size, **kwargs)
+        if local_seeds else []
+    )
+    merged: Dict[int, Dict] = {}
+    for proc_rows in allgather_pyobj(local_rows):
+        for row in proc_rows:
+            merged[int(row["seed"])] = row
+    return [merged[int(s)] for s in seeds]

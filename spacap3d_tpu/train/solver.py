@@ -41,6 +41,27 @@ BN_MOMENTUM_INIT = 0.5
 BN_MOMENTUM_MAX = 0.001
 
 
+class _NullLogger:
+    """Logger stub for non-zero processes in a multi-host run: process 0
+    owns log.txt/all_scalars.json/best.txt; the others run the identical
+    loop silently (their metric streams are bit-identical anyway)."""
+
+    def log(self, *a, **k):
+        pass
+
+    def scalar(self, *a, **k):
+        pass
+
+    def write_json(self, *a, **k):
+        pass
+
+    def dump_scalars(self, *a, **k):
+        pass
+
+    def close(self, *a, **k):
+        pass
+
+
 class Solver:
     def __init__(
         self,
@@ -83,7 +104,21 @@ class Solver:
         self.train_corpus_annotations = train_corpus_annotations
 
         self.root = os.path.join(run_cfg.output_dir, stamp)
-        self.logger = RunLogger(self.root)
+        # Multi-host (parallel/multihost.py): every process runs the same
+        # epoch loop on the same global train step (its DataLoader builds
+        # only the local row-block of each global batch; _to_device
+        # assembles the globally-sharded batch). In-loop validation runs
+        # redundantly per process on local devices — deterministic, so
+        # every process reaches the identical best-ckpt decision — and
+        # only process 0 touches the filesystem (logs + checkpoints).
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
+        if self.process_count > 1 and tp_degree(mesh) > 1:
+            raise NotImplementedError(
+                "tensor parallelism (--tp) is single-process; multi-host "
+                "runs are data-parallel only (docs/SCALING.md)")
+        self.logger = (RunLogger(self.root) if self.process_index == 0
+                       else _NullLogger())
         self.ckpt = AsyncCheckpointer()
 
         steps_per_epoch = len(train_loader)
@@ -105,7 +140,11 @@ class Solver:
         self.train_step = make_train_step(
             self.mc, self.tc, self.tx, mesh=mesh, donate=True
         )
-        self.eval_step = make_eval_step(self.mc, mesh=mesh)
+        # multi-host: eval on LOCAL devices per process (plain jit; each
+        # process sees full val batches, mesh placement would expect
+        # local row-blocks)
+        self.eval_step = make_eval_step(
+            self.mc, mesh=mesh if self.process_count == 1 else None)
 
         self.best = checkpoint_best or {
             "epoch": 0, "bleu-1": -float("inf"), "bleu-2": -float("inf"),
@@ -125,11 +164,26 @@ class Solver:
         return max(m, BN_MOMENTUM_MAX)
 
     def _to_device(self, batch):
+        if self.process_count > 1:
+            # ``batch`` is this process's local row-block (DataLoader
+            # process slicing); assemble the globally-sharded batch
+            from spacap3d_tpu.parallel.multihost import global_batch_from_local
+
+            return global_batch_from_local(self.mesh, batch)
         if self.mesh is not None:
             return shard_batch(self.mesh, batch)
         return batch
 
+    def _eval_to_device(self, batch):
+        """Validation placement: under multi-host the eval step is a
+        process-local jit over full batches, so no mesh placement."""
+        if self.process_count > 1:
+            return batch
+        return self._to_device(batch)
+
     def _save(self, name: str, epoch: int):
+        if self.process_index != 0:
+            return None  # process 0 owns the filesystem (params replicated)
         payload = {
             "epoch": epoch,
             "iter": self.global_iter,
@@ -308,15 +362,20 @@ class Solver:
                     loader.epoch = val_idx
         # optional eval on the train split (reference --eval_on_train,
         # lib/solver.py:511-540 runs eval_cap on both loaders)
+        # only process 0 writes eval artifacts (multi-host: every process
+        # validates redundantly and identically; see __init__ note)
+        write_files = self.process_index == 0
         if self.eval_on_train and self.train_eval_loader is not None:
             self.logger.log("evaluating on train split...")
             train_metrics, _ = eval_cap(
                 self.eval_step, self.train_state.params, self.train_state.state,
                 self.train_eval_dataset, self.train_eval_loader, self.vocab,
                 self.dc, self.train_corpus_annotations,
-                corpus_cache=os.path.join(self.root, "corpus_train.json"),
-                pred_path=os.path.join(self.root, "pred_train.json"),
-                batch_to_device=self._to_device,
+                corpus_cache=os.path.join(self.root, "corpus_train.json")
+                if write_files else None,
+                pred_path=os.path.join(self.root, "pred_train.json")
+                if write_files else None,
+                batch_to_device=self._eval_to_device,
                 meteor_jar=self.meteor_jar,
             )
             for k, v in train_metrics.items():
@@ -327,9 +386,11 @@ class Solver:
             self.eval_step, self.train_state.params, self.train_state.state,
             self.val_dataset, self.val_loader, self.vocab, self.dc,
             self.corpus_annotations,
-            corpus_cache=os.path.join(self.root, "corpus_val.json"),
-            pred_path=os.path.join(self.root, "pred_val.json"),
-            batch_to_device=self._to_device,
+            corpus_cache=os.path.join(self.root, "corpus_val.json")
+            if write_files else None,
+            pred_path=os.path.join(self.root, "pred_val.json")
+            if write_files else None,
+            batch_to_device=self._eval_to_device,
             meteor_jar=self.meteor_jar,
         )
         for k, v in metrics.items():
@@ -357,6 +418,9 @@ class Solver:
             self._save("model.ckpt", epoch)
 
     def _finish(self):
+        if self.process_index != 0:
+            self.logger.close()
+            return
         with open(os.path.join(self.root, "best.txt"), "w") as f:
             for k, v in self.best.items():
                 f.write(f"{k}: {v}\n")
