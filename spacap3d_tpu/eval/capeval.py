@@ -471,6 +471,64 @@ there here sos eos
 """.split())
 
 
+def locate_wordnet_dir() -> "str | None":
+    """A WordNet 3.x dictionary directory (the ``index.noun``/``index.verb``
+    /... files), if one is locatable: ``SPACAP_WORDNET_DIR`` first, then
+    the conventional nltk_data locations. None otherwise — the synonym
+    stage is strictly opt-in-by-availability."""
+    cands = []
+    env = os.environ.get("SPACAP_WORDNET_DIR")
+    if env:
+        cands.append(env)
+    nltk_roots = os.environ.get("NLTK_DATA", "").split(os.pathsep)
+    nltk_roots += [os.path.expanduser("~/nltk_data"), "/usr/share/nltk_data",
+                   "/usr/local/share/nltk_data"]
+    for root in nltk_roots:
+        if root:
+            cands.append(os.path.join(root, "corpora", "wordnet"))
+    for c in cands:
+        if c and os.path.exists(os.path.join(c, "index.noun")):
+            return c
+    return None
+
+
+_WN_CACHE: Dict[str, Dict[str, frozenset]] = {}
+
+
+def load_wordnet_synsets(wn_dir: str) -> Dict[str, frozenset]:
+    """lemma -> set of '<pos-letter><synset-offset>' ids, parsed straight
+    from the WordNet index.* files (no nltk dependency). Two words are
+    METEOR-synonymous iff their id sets intersect — the same
+    share-a-synset test the jar's synonymy module applies (its synonym
+    dictionary is flattened from WordNet 3.0)."""
+    if wn_dir in _WN_CACHE:
+        return _WN_CACHE[wn_dir]
+    syn: Dict[str, set] = {}
+    for pos in ("noun", "verb", "adj", "adv"):
+        path = os.path.join(wn_dir, f"index.{pos}")
+        if not os.path.exists(path):
+            continue
+        with open(path, encoding="utf-8", errors="replace") as f:
+            for line in f:
+                if line.startswith("  ") or not line.strip():
+                    continue  # license header lines are indented
+                parts = line.split()
+                # index line: lemma pos synset_cnt p_cnt [ptrs...]
+                #             sense_cnt tagsense_cnt offset...
+                if len(parts) < 6:
+                    continue
+                try:
+                    synset_cnt = int(parts[2])
+                    offsets = parts[-synset_cnt:]
+                except (ValueError, IndexError):
+                    continue
+                ids = {pos[0] + o for o in offsets}
+                syn.setdefault(parts[0], set()).update(ids)
+    out = {w: frozenset(s) for w, s in syn.items()}
+    _WN_CACHE[wn_dir] = out
+    return out
+
+
 class MeteorLite:
     """Pure-Python METEOR-1.5 scorer (Denkowski & Lavie 2014) with the
     exact and Porter-stem matcher stages:
@@ -489,10 +547,18 @@ class MeteorLite:
         best reference wins.
 
     English-task parameters alpha=.85 beta=.2 gamma=.6 delta=.75.
-    NON-PARITY fallback versus the jar (no WordNet synonym or paraphrase
-    stage, closed-class function-word list instead of the jar's
-    corpus-derived one) — use the jar for published numbers. The 2005
-    METEOR configuration (Banerjee & Lavie: Fmean=10PR/(R+9P),
+
+    Synonym stage (METEOR-1.5's third matcher module, weight 0.8): active
+    when a WordNet dictionary is locatable (``SPACAP_WORDNET_DIR`` or an
+    nltk_data dir — ``locate_wordnet_dir``); two words match if their
+    synset-id sets intersect. Stage PRECEDENCE follows the jar's module
+    order — a pair also matched by exact/stem takes that earlier stage's
+    weight even though w_stem(0.6) < w_syn(0.8).
+
+    NON-PARITY fallback versus the jar regardless (no paraphrase table —
+    it cannot be shipped; closed-class function-word list instead of the
+    jar's corpus-derived one) — use the jar for published numbers. The
+    2005 METEOR configuration (Banerjee & Lavie: Fmean=10PR/(R+9P),
     Pen=0.5*(ch/m)^3, exact-weight stems, no delta) is reproducible via
     constructor args — pinned against the paper's worked examples in
     tests/test_meteor.py."""
@@ -500,26 +566,39 @@ class MeteorLite:
     def __init__(self, alpha: float = 0.85, beta: float = 0.2,
                  gamma: float = 0.6, delta: float = 0.75,
                  w_exact: float = 1.0, w_stem: float = 0.6,
-                 beam: int = 40):
+                 beam: int = 40,
+                 w_syn: float = 0.8, wordnet_dir: "str | None" = None):
         self.alpha, self.beta, self.gamma, self.delta = alpha, beta, gamma, delta
-        self.w_exact, self.w_stem = w_exact, w_stem
+        self.w_exact, self.w_stem, self.w_syn = w_exact, w_stem, w_syn
         self.beam = beam
+        wn = wordnet_dir if wordnet_dir is not None else locate_wordnet_dir()
+        self.synsets: Dict[str, frozenset] = (
+            load_wordnet_synsets(wn) if wn else {})
+        self.has_synonyms = bool(self.synsets)
 
     def _align(self, hyp: List[str], ref: List[str]):
         """Returns (n_match, n_chunk, wsum_hyp, wsum_ref) of the best
         one-to-one alignment by (matches desc, chunks asc, weight desc)."""
         d = self.delta
-        # candidate matches per hyp position: (j, weight)
+        # candidate matches per hyp position: (j, weight). Stage order =
+        # jar module order: exact, stem, synonym (first stage to match a
+        # pair sets its weight)
         ref_stems = [_stem_cached(w) for w in ref]
+        syn = self.synsets
+        empty = frozenset()
+        ref_syns = [syn.get(w, empty) for w in ref] if syn else None
         cands = []
         for hw in hyp:
             row = []
             hs = _stem_cached(hw)
+            hsyn = syn.get(hw, empty) if syn else empty
             for j, rw in enumerate(ref):
                 if hw == rw:
                     row.append((j, self.w_exact))
                 elif hs == ref_stems[j]:
                     row.append((j, self.w_stem))
+                elif hsyn and not hsyn.isdisjoint(ref_syns[j]):
+                    row.append((j, self.w_syn))
             cands.append(row)
         hw_f = [w in FUNCTION_WORDS for w in hyp]
         rw_f = [w in FUNCTION_WORDS for w in ref]

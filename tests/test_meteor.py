@@ -160,3 +160,64 @@ def test_meteor_lite_picks_best_reference():
     both = lite.sentence_score("sos the red chair eos", refs)
     only = lite.sentence_score("sos the red chair eos", [refs[1]])
     assert both == pytest.approx(only)
+
+
+# ---------------------------------------------------------------------------
+# WordNet synonym stage (gated on a locatable WordNet dictionary)
+# ---------------------------------------------------------------------------
+
+def _fake_wordnet(tmp_path):
+    """A minimal WordNet-format dictionary: sofa/couch share a noun
+    synset; runs/run share one (to test stage precedence vs stem)."""
+    wn = tmp_path / "wordnet"
+    wn.mkdir()
+    (wn / "index.noun").write_text(
+        "  1 This is a license header line and must be skipped\n"
+        "sofa n 1 1 @ 1 0 04256520\n"
+        "couch n 2 1 @ 2 0 04256520 00001234\n"
+        "chair n 1 1 @ 1 0 03001627\n"
+    )
+    (wn / "index.verb").write_text(
+        "runs v 1 1 @ 1 0 01926311\n"
+        "run v 1 1 @ 1 0 01926311\n"
+    )
+    return str(wn)
+
+
+def test_meteor_lite_synonym_stage(tmp_path):
+    wn = _fake_wordnet(tmp_path)
+    lite = MeteorLite(wordnet_dir=wn)
+    assert lite.has_synonyms
+    off = MeteorLite(wordnet_dir="")          # stage disabled
+    assert not off.has_synonyms
+
+    gts = {"k": ["the couch"]}
+    res = {"k": ["the sofa"]}
+    # with synonyms: 'the' exact (function, 1.0*(1-d)) + sofa~couch
+    # synonym (content, 0.8*d): P=R=0.85, fmean=0.85,
+    # pen=0.6*(1/2)^0.2 -> score = 0.85*(1-pen)
+    with_syn = lite.compute_score(gts, res)[0]
+    pen = 0.6 * 0.5 ** 0.2
+    assert with_syn == pytest.approx(0.85 * (1 - pen), rel=1e-12)
+    # without: only 'the' matches -> P=R=0.25, pen=0.6 -> 0.1
+    assert off.compute_score(gts, res)[0] == pytest.approx(0.1, rel=1e-12)
+    # unrelated synsets do not match
+    assert lite.compute_score({"k": ["chair"]}, {"k": ["sofa"]})[0] == 0.0
+
+
+def test_meteor_lite_synonym_stage_precedence(tmp_path):
+    """A pair matched by BOTH stem and synonym takes the earlier (stem)
+    module's weight, like the jar's staged aligner."""
+    wn = _fake_wordnet(tmp_path)
+    lite = MeteorLite(wordnet_dir=wn)
+    score = lite.compute_score({"k": ["run"]}, {"k": ["runs"]})[0]
+    # single content word, stem weight 0.6: P=R=0.6, chunks/m=1, pen=0.6
+    assert score == pytest.approx(0.6 * (1 - 0.6), rel=1e-12)
+
+
+def test_meteor_lite_wordnet_autolocate_env(tmp_path, monkeypatch):
+    wn = _fake_wordnet(tmp_path)
+    monkeypatch.setenv("SPACAP_WORDNET_DIR", wn)
+    lite = MeteorLite()
+    assert lite.has_synonyms
+    assert lite.compute_score({"k": ["sofa"]}, {"k": ["couch"]})[0] > 0
