@@ -27,6 +27,17 @@ all-reduce per pair, the classic TP schedule; the head-split reshape
 ``(B, T, d) -> (B, T, h, dk)`` keeps the sharded dim on ``h`` because
 ``tp`` divides ``num_heads``. Numerics match the replicated model up to
 f32 reassociation of the split contractions (pinned by tests/test_tp.py).
+
+BOUNDARY — TP covers the CAPTIONER ONLY. The detector trunk (SA/FP
+convs, voting, proposal head) is deliberately replicated at every
+``tp``: parameter memory and FLOPs there are dominated by activations,
+not weights (the whole trunk is <2 M params even at 4x
+``seed_feature_dim``), so splitting its weights buys no capacity while
+its BatchNorm stats and ball-query gathers would need bespoke
+cross-shard handling. Scaling knobs TP serves: ``d_model``, ``d_ff``,
+``num_layers``, ``num_heads``. If you scale trunk widths to the point
+of HBM pressure, shard the BATCH further (more ``data``-axis chips)
+— activation memory, the trunk's actual cost, shards with it.
 """
 from __future__ import annotations
 
