@@ -104,6 +104,17 @@ class ModelConfig:
     # steps, so production eval skips most of the decode tail. No effect
     # on a model that never emits EOS (stage 1 always runs).
     eval_decode_early_exit: bool = False
+    # Fused Pallas decode kernels (ops/decode_pallas.py): keep the
+    # generator logits (R x vocab f32, ~37 MB/step) and each layer's FFN
+    # hidden (R x d_ff, ~8.4 MB/step) VMEM-resident instead of
+    # materializing them in HBM. MEASURED NEGATIVE at flagship shapes
+    # (README "negative results"): each Mosaic call inside the scan
+    # carries ~20 us entry overhead x (6 FFN + 1 generator) x 31 steps,
+    # outweighing the HBM it saves — eval forward 194 -> 167 scenes/s
+    # with both on (171.5 gen-only, 184.8 ffn-only). Kept for bigger
+    # configs (d_ff/vocab scale the savings, the overhead is fixed);
+    # engages only for a bf16 decode on a TPU backend.
+    eval_decode_fused: bool = False
 
     @property
     def size_decoded(self) -> bool:

@@ -430,7 +430,7 @@ def _cast_tree(tree, dtype):
 
 
 def _decode_step(model, cfg: ModelConfig, x, caches, pos, cross_kv,
-                 qkv_fused=None, dd=jnp.float32):
+                 qkv_fused=None, dd=jnp.float32, fused_ffn=False):
     """One decoder step for the newest token.
 
     x: (R, 1, d) input embedding (dtype ``dd``); caches: list per layer of
@@ -496,10 +496,21 @@ def _decode_step(model, cfg: ModelConfig, x, caches, pos, cross_kv,
                                merge_heads(att).astype(dd)).astype(dd)
 
         xn = norm(layer["sublayer2"]["norm"], x)
-        x = x + core.dense(
-            layer["feed_forward"]["w_2"],
-            jax.nn.relu(core.dense(layer["feed_forward"]["w_1"], xn)).astype(dd),
-        ).astype(dd)
+        ff = layer["feed_forward"]
+        if fused_ffn:
+            # fused Pallas FFN (ops/decode_pallas.py): identical op
+            # sequence, the (R, d_ff) hidden stays in VMEM
+            from spacap3d_tpu.ops import decode_pallas
+
+            y = decode_pallas.ffn(xn[:, 0], ff["w_1"]["kernel"],
+                                  ff["w_1"]["bias"], ff["w_2"]["kernel"],
+                                  ff["w_2"]["bias"])
+            x = x + y[:, None]
+        else:
+            x = x + core.dense(
+                ff["w_2"],
+                jax.nn.relu(core.dense(ff["w_1"], xn)).astype(dd),
+            ).astype(dd)
     out = core.ref_layer_norm(model["decoder"]["norm"],
                               x.astype(jnp.float32))
     return out[:, 0], new_caches
@@ -627,11 +638,25 @@ def captioner_eval(
 
     qkv_fused = [_fuse_qkv(layer) for layer in dec_model["decoder"]["layers"]]
 
+    # Fused Pallas decode kernels (ops/decode_pallas.py): engage only for
+    # the bf16 decode on a TPU backend — the f32 parity paths and CPU CI
+    # keep the XLA composites. The generator pad is hoisted out of the
+    # scan here (weights are loop-invariant).
+    use_fused = (getattr(cfg, "eval_decode_fused", True)
+                 and dd == jnp.bfloat16
+                 and jax.default_backend() == "tpu")
+    gen_fused = None
+    if use_fused:
+        from spacap3d_tpu.ops import decode_pallas
+
+        gen_fused = decode_pallas.pad_generator(gen, gen["kernel"].shape[1])
+
     offset = 0
     if cfg.early_guide:
         # warm-up step: process the object token at cache position 0
         _, caches = _decode_step(dec_model, cfg, obj_token.astype(dd), caches,
-                                 jnp.int32(0), cross_kv, qkv_fused, dd=dd)
+                                 jnp.int32(0), cross_kv, qkv_fused, dd=dd,
+                                 fused_ffn=use_fused)
         offset = 1
 
     def flatten(cs):
@@ -647,11 +672,16 @@ def captioner_eval(
         emb = (jnp.take(lut, token[:, None], axis=0) * sqrt_d + pe[i]).astype(dd)
         hid, new_caches = _decode_step(
             dec_model, cfg, emb, unflatten(flat_caches), i + offset, cross_kv,
-            qkv_fused, dd=dd,
+            qkv_fused, dd=dd, fused_ffn=use_fused,
         )
         # argmax(logits) == argmax(log_softmax(logits)): skip the softmax
-        logits = core.dense(gen, hid.astype(dd))          # f32 accumulate
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if gen_fused is not None:
+            from spacap3d_tpu.ops import decode_pallas
+
+            nxt = decode_pallas.generator_argmax(hid.astype(dd), *gen_fused)
+        else:
+            logits = core.dense(gen, hid.astype(dd))      # f32 accumulate
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return (nxt, flatten(new_caches)), nxt
 
     token = jnp.full((r,), SOS_ID, jnp.int32)
