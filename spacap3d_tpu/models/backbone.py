@@ -110,24 +110,22 @@ def sa_module(
     # pathological. Folding the center-subtract into the matmul bias is
     # numerically unsafe under the TPU's bf16 matmul inputs: it rounds
     # ABSOLUTE coordinates, losing the small offsets to cancellation.)
-    if features is not None:
+    if features is not None and cfg.use_xyz:
+        # fused assembly with a custom VJP (ops/grouping.py::
+        # group_and_localize): forward bit-identical to the composed
+        # gather/slice/concat; the backward replaces autodiff's
+        # re-materialized slice+concat around the (B, np, ns, 3+C)
+        # tensor with one fused channel-scale + scatter-add
         cat = jnp.concatenate([xyz, features], axis=-1)
-        grouped_cat = ops.group_points(cat, idx)
-        grouped_xyz = grouped_cat[..., :3] - new_xyz[:, :, None, :]
-        grouped_feats = grouped_cat[..., 3:]
+        grouped = ops.group_and_localize(
+            cat, idx, new_xyz, cfg.radius if cfg.normalize_xyz else None)
+    elif features is not None:
+        cat = jnp.concatenate([xyz, features], axis=-1)
+        grouped = ops.group_points(cat, idx)[..., 3:]
     else:
-        grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
-        grouped_feats = None
-    if cfg.normalize_xyz:
-        grouped_xyz = grouped_xyz / cfg.radius
-
-    if grouped_feats is not None:
-        if cfg.use_xyz:
-            grouped = jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
-        else:
-            grouped = grouped_feats
-    else:
-        grouped = grouped_xyz
+        grouped = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
+        if cfg.normalize_xyz:
+            grouped = grouped / cfg.radius
 
     h, mlp_s = shared_mlp(p["mlp_module"], s["mlp_module"], grouped, train, momentum)
     new_features = jnp.max(h, axis=2)  # max over nsample neighbors

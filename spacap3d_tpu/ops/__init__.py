@@ -20,6 +20,10 @@ from spacap3d_tpu.ops.fps import (  # noqa: F401
 from spacap3d_tpu.ops.fps_pallas import (  # noqa: F401
     furthest_point_sample_pallas,
 )
-from spacap3d_tpu.ops.grouping import gather_points, group_points  # noqa: F401
+from spacap3d_tpu.ops.grouping import (  # noqa: F401
+    gather_points,
+    group_and_localize,
+    group_points,
+)
 from spacap3d_tpu.ops.interpolate import three_interpolate, three_nn  # noqa: F401
 from spacap3d_tpu.ops.nn_distance import huber_loss, nn_distance  # noqa: F401

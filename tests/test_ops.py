@@ -209,3 +209,46 @@ def test_ball_query_pallas_interpret_matches_xla(rng):
             _ball_query_xla(jnp.asarray(xyz), jnp.asarray(centers), radius, ns)
         )
         np.testing.assert_array_equal(got, want)
+
+
+def test_group_and_localize_bitexact_and_grads(rng):
+    """Fused SA neighbor assembly (custom VJP): forward bit-equal to the
+    composed gather/slice/concat; grads match autodiff to reassociation
+    (1/r multiply vs /r divide on the 3 xyz channels)."""
+    import jax
+
+    from spacap3d_tpu.ops.grouping import group_and_localize, group_points
+
+    b, n, m, ns, c = 2, 64, 16, 8, 5
+    radius = 0.4
+    cat = jnp.asarray(rng.randn(b, n, 3 + c).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, n, (b, m, ns)).astype(np.int32))
+    centers = jnp.asarray(rng.randn(b, m, 3).astype(np.float32))
+
+    def composed(cat, centers):
+        g = group_points(cat, idx)
+        gx = (g[..., :3] - centers[:, :, None, :]) / radius
+        return jnp.concatenate([gx, g[..., 3:]], -1)
+
+    got = group_and_localize(cat, idx, centers, radius)
+    want = composed(cat, centers)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # radius=None (normalize_xyz off)
+    got0 = group_and_localize(cat, idx, centers, None)
+    g = group_points(cat, idx)
+    want0 = jnp.concatenate(
+        [g[..., :3] - centers[:, :, None, :], g[..., 3:]], -1)
+    np.testing.assert_array_equal(np.asarray(got0), np.asarray(want0))
+
+    def loss_fused(cat, centers):
+        return jnp.sum(jnp.sin(group_and_localize(cat, idx, centers, radius)))
+
+    def loss_composed(cat, centers):
+        return jnp.sum(jnp.sin(composed(cat, centers)))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(cat, centers)
+    gc = jax.grad(loss_composed, argnums=(0, 1))(cat, centers)
+    for a, b_ in zip(gf, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
