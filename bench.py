@@ -347,8 +347,32 @@ def main():
 
     n_iters = 4 if smoke else 20
     repeats = 2 if smoke else 3
-    eval_sps, eval_flops_per_sec = bench_eval(cfg, dc, params, state,
-                                              n_iters=n_iters, repeats=repeats)
+
+    # Degraded-tunnel guard: the remote-attached TPU occasionally enters a
+    # globally slow window (observed: a ~20-minute session where eval,
+    # train AND e2e all ran ~25x under their device-bound medians with
+    # near-zero variance and loadavg 0 — an environmental outage, not a
+    # code regression; the same process measured full speed minutes
+    # later). A run whose eval median is implausibly far below the
+    # device-bound floor is retried after a backoff; every attempt's
+    # median is reported so nothing is hidden.
+    sane_eval_floor = 0.0 if smoke else 50.0   # steady-state band is 155-197
+    max_attempts = 1 if smoke else 3
+    attempts_eval_medians = []
+    import gc
+    import sys as _sys
+    for attempt in range(max_attempts):
+        eval_sps, eval_flops_per_sec = bench_eval(
+            cfg, dc, params, state, n_iters=n_iters, repeats=repeats)
+        attempts_eval_medians.append(round(float(np.median(eval_sps)), 3))
+        if float(np.median(eval_sps)) >= sane_eval_floor:
+            break
+        if attempt < max_attempts - 1:
+            print(f"bench attempt {attempt}: eval median "
+                  f"{attempts_eval_medians[-1]} < {sane_eval_floor} "
+                  f"scenes/s — degraded tunnel window, retrying in 120 s",
+                  file=_sys.stderr, flush=True)
+            time.sleep(120)
     train_sps, train_flops_per_sec, train_loss = bench_train(
         cfg, dc, params, state, n_iters=n_iters, repeats=repeats)
     # secondary row: batch 16 (BASELINE.md notes batch 8 is the comparison
@@ -358,7 +382,6 @@ def main():
     # drop the train bench's leftovers (20 in-flight TrainState copies
     # hold ~2.4 GB of HBM in reference cycles) before the e2e phase: with
     # them alive the 1-core host's e2e stream measured ~2x slower
-    import gc
     gc.collect()
     e2e_rps, e2e_timing = bench_mul_eval_e2e(
         cfg, dc, num_scenes=6 if smoke else 141, repeats=repeats)
@@ -389,6 +412,8 @@ def main():
         "mul_eval_e2e_phases": {k: round(v, 2) if isinstance(v, float) else v
                                 for k, v in e2e_timing.items()},
         "repeats": repeats,
+        "eval_attempts": attempts_eval_medians,
+        "degraded_tunnel": attempts_eval_medians[-1] < sane_eval_floor,
         "loadavg_start": loadavg_start,
         "decode_dtype": cfg.eval_decode_dtype,
         "device_kind": getattr(dev, "device_kind", str(dev)),
