@@ -173,6 +173,11 @@ def main(argv=None):
     import math
     grid_mode = args.mul_eval and not args.detection_only and not args.serial_mul_eval
     eff_batch = args.batch_size if grid_mode else min(args.batch_size, len(ds))
+    if args.tp > 1 and process_count > 1:
+        # same boundary the Solver enforces: TP is single-process by
+        # design (docs/SCALING.md) — a global TP mesh would fight the
+        # per-process seed-sharded grid streams
+        raise SystemExit("--tp is single-process; drop --multihost or --tp")
     if args.tp > 1:
         # 2-D (data, model) mesh (parallel/tp.py): TP-shard the captioner
         # for scaled-up configs; the decode's per-block all-reduces ride

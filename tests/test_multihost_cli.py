@@ -113,3 +113,26 @@ def test_mul_eval_multihost_rows_equal_single_process(run_dir):
     assert len(mh) == 2 and [r["seed"] for r in mh] == ["0", "1"]
     # seed-sharded 2-process grid == single-process run, column for column
     assert mh == sp
+
+
+def test_eval_rejects_tp_with_multihost(run_dir, monkeypatch):
+    root, out_dir = run_dir
+    run = os.listdir(out_dir)[0]
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import eval as eval_cli
+
+    monkeypatch.setenv("SPACAP_NUM_PROCESSES", "2")  # simulated cluster env
+
+    class _FakeInit:
+        @staticmethod
+        def fake(*a, **k):
+            return 0, 2
+
+    from spacap3d_tpu.parallel import multihost
+    monkeypatch.setattr(multihost, "initialize_from_env", _FakeInit.fake)
+    with pytest.raises(SystemExit, match="single-process"):
+        eval_cli.main(["--multihost", "--tp", "2", "--folder", run,
+                       "--data_root", root, "--output_dir", out_dir,
+                       "--batch_size", "2", "--num_workers", "1",
+                       "--checkpoint", "model_last.ckpt", "--mul_eval",
+                       "--num_seeds", "2", "--eval_tag", "x"])
