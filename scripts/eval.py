@@ -111,6 +111,15 @@ def main(argv=None):
         from spacap3d_tpu.parallel.multihost import initialize_from_env
 
         process_index, process_count = initialize_from_env()
+        if process_count > 1:
+            # form the cross-process communicator NOW (seconds after
+            # initialize, when every process is still in lockstep): the
+            # first real collective is the end-of-grid row merge, which
+            # processes can reach minutes apart — past the ~30 s
+            # collective-rendezvous deadline (parallel/multihost.py)
+            from spacap3d_tpu.parallel.multihost import allgather_pyobj
+
+            allgather_pyobj(process_index)
     import jax
 
     from spacap3d_tpu.utils.logging import enable_compilation_cache

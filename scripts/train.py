@@ -272,6 +272,12 @@ def main(argv=None):
                 f"--multihost: global batch {batch} must divide over "
                 f"{n_dev} global devices and {process_count} processes")
         mesh = make_mesh(jax.devices())
+        # form the cross-process communicator NOW, while every process is
+        # seconds apart — the train step's first execution would otherwise
+        # race its ~30 s collective-rendezvous deadline against the other
+        # processes' multi-minute compiles (parallel/multihost.py)
+        from spacap3d_tpu.parallel.multihost import warmup_collectives
+        warmup_collectives(mesh)
         if process_index == 0:
             print(f"multihost mesh: {process_count} processes x "
                   f"{n_dev // process_count} devices = {n_dev}")

@@ -485,6 +485,14 @@ def mul_eval_grid_multihost(
     With ``process_count() == 1`` this is exactly ``mul_eval_grid``."""
     from spacap3d_tpu.parallel.multihost import allgather_pyobj, process_shard
 
+    # Form the cross-process communicator NOW, while every process is
+    # still in lockstep: the next collective is the end-of-grid row
+    # merge, which processes reach minutes apart (seed shards are
+    # imbalanced when len(seeds) % process_count != 0) — far past the
+    # ~30 s rendezvous deadline XLA's collectives impose on a context's
+    # FIRST formation (see parallel/multihost.py::warmup_collectives).
+    allgather_pyobj(None)
+
     local_seeds = process_shard(list(seeds))
     local_rows = (
         mul_eval_grid(eval_step, params, state, dataset, vocab, dc,

@@ -35,6 +35,7 @@ def main() -> None:
         global_batch_from_local,
         initialize_from_env,
         replicate_global,
+        warmup_collectives,
     )
 
     pidx, pcount = initialize_from_env()
@@ -55,6 +56,9 @@ def main() -> None:
     assert pcount == int(os.environ["SPACAP_NUM_PROCESSES"]), pcount
     n_global = len(jax.devices())
     mesh = make_mesh(jax.devices())
+    # form the cross-process communicator before the train-step compile
+    # (the real CLIs do the same; see warmup_collectives)
+    warmup_collectives(mesh)
 
     from spacap3d_tpu.config import ModelConfig
 

@@ -94,6 +94,32 @@ def process_shard(items: Sequence, process_index: Optional[int] = None,
     return list(items[process_index::process_count])
 
 
+def warmup_collectives(mesh) -> None:
+    """Form the cross-process communicator for ``mesh``'s device clique
+    with a tiny all-reduce BEFORE any heavy compile. XLA creates
+    collective contexts lazily at the first *execution* that needs them,
+    with a ~30 s rendezvous deadline per side (Gloo ``GetKeyValue``); two
+    processes whose big-program compiles skew by more than that — easy on
+    a loaded or single-core host, where each process's compile runs at a
+    fraction of a core — would then fail cluster formation with
+    ``DEADLINE_EXCEEDED`` even though both are healthy. This program
+    compiles in milliseconds, so every process reaches the rendezvous
+    within seconds of ``initialize``; the context is cached per clique
+    and the real step's first execution reuses it. No-op single-process."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if jax.process_count() == 1:
+        return
+    n = mesh.devices.size
+    sharding = NamedSharding(mesh, P(mesh.axis_names))
+    local = np.zeros(n // jax.process_count(), np.float32)
+    x = jax.make_array_from_process_local_data(sharding, local)
+    out = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(x)
+    jax.block_until_ready(out)
+
+
 def allgather_bytes(payload: bytes) -> List[bytes]:
     """All-gather one byte string per process (any lengths). Two
     collectives: lengths first, then the max-length-padded payloads."""
