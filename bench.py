@@ -353,28 +353,46 @@ def main():
     # train AND e2e all ran ~25x under their device-bound medians with
     # near-zero variance and loadavg 0 — an environmental outage, not a
     # code regression; the same process measured full speed minutes
-    # later). A run whose eval median is implausibly far below the
-    # device-bound floor is retried after a backoff; every attempt's
-    # median is reported so nothing is hidden.
-    sane_eval_floor = 0.0 if smoke else 50.0   # steady-state band is 155-197
+    # later). EVERY phase whose median lands implausibly far below its
+    # device-bound floor is retried after a backoff (a window can open
+    # mid-run, after a healthy eval phase); every attempt's median is
+    # reported so nothing is hidden, and degraded_tunnel is true if any
+    # phase's LAST attempt still sat below its floor.
     max_attempts = 1 if smoke else 3
-    attempts_eval_medians = []
+    phase_attempts = {}
     import gc
     import sys as _sys
-    for attempt in range(max_attempts):
-        eval_sps, eval_flops_per_sec = bench_eval(
-            cfg, dc, params, state, n_iters=n_iters, repeats=repeats)
-        attempts_eval_medians.append(round(float(np.median(eval_sps)), 3))
-        if float(np.median(eval_sps)) >= sane_eval_floor:
-            break
-        if attempt < max_attempts - 1:
-            print(f"bench attempt {attempt}: eval median "
-                  f"{attempts_eval_medians[-1]} < {sane_eval_floor} "
-                  f"scenes/s — degraded tunnel window, retrying in 120 s",
+
+    def with_retry(name, floor, run):
+        """run() -> (per-repeat values, extras...); retried while the
+        median sits below ``floor`` (an environmental outage, not noise:
+        floors are set several-fold under each phase's honest band)."""
+        log = phase_attempts.setdefault(name, [])
+        for attempt in range(max_attempts):
+            result = run()
+            med = float(np.median(result[0]))
+            log.append(round(med, 3))
+            if med >= floor or attempt == max_attempts - 1:
+                return result
+            print(f"bench {name} attempt {attempt}: median {log[-1]} < "
+                  f"{floor} — degraded tunnel window, retrying in 120 s",
                   file=_sys.stderr, flush=True)
             time.sleep(120)
-    train_sps, train_flops_per_sec, train_loss = bench_train(
-        cfg, dc, params, state, n_iters=n_iters, repeats=repeats)
+
+    # floors: several-fold under each phase's honest observed band
+    # (eval 155-197 scenes/s, train 114-117 scenes/s, e2e 76-143 rows/s)
+    eval_floor = 0.0 if smoke else 50.0
+    train_floor = 0.0 if smoke else 30.0
+    e2e_floor = 0.0 if smoke else 20.0
+
+    eval_sps, eval_flops_per_sec = with_retry(
+        "eval", eval_floor,
+        lambda: bench_eval(cfg, dc, params, state,
+                           n_iters=n_iters, repeats=repeats))
+    train_sps, train_flops_per_sec, train_loss = with_retry(
+        "train", train_floor,
+        lambda: bench_train(cfg, dc, params, state,
+                            n_iters=n_iters, repeats=repeats))
     # secondary row: batch 16 (BASELINE.md notes batch 8 is the comparison
     # shape, not a TPU constraint — report what the bigger batch buys)
     train16_sps, _, _ = bench_train(cfg, dc, params, state, batch_size=16,
@@ -383,8 +401,14 @@ def main():
     # hold ~2.4 GB of HBM in reference cycles) before the e2e phase: with
     # them alive the 1-core host's e2e stream measured ~2x slower
     gc.collect()
-    e2e_rps, e2e_timing = bench_mul_eval_e2e(
-        cfg, dc, num_scenes=6 if smoke else 141, repeats=repeats)
+    e2e_rps, e2e_timing = with_retry(
+        "e2e", e2e_floor,
+        lambda: bench_mul_eval_e2e(cfg, dc,
+                                   num_scenes=6 if smoke else 141,
+                                   repeats=repeats))
+    degraded = (phase_attempts["eval"][-1] < eval_floor
+                or phase_attempts["train"][-1] < train_floor
+                or phase_attempts["e2e"][-1] < e2e_floor)
 
     eval_med = float(np.median(eval_sps))
     train_med = float(np.median(train_sps))
@@ -412,8 +436,8 @@ def main():
         "mul_eval_e2e_phases": {k: round(v, 2) if isinstance(v, float) else v
                                 for k, v in e2e_timing.items()},
         "repeats": repeats,
-        "eval_attempts": attempts_eval_medians,
-        "degraded_tunnel": attempts_eval_medians[-1] < sane_eval_floor,
+        "phase_attempts": phase_attempts,
+        "degraded_tunnel": degraded,
         "loadavg_start": loadavg_start,
         "decode_dtype": cfg.eval_decode_dtype,
         "device_kind": getattr(dev, "device_kind", str(dev)),

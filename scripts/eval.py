@@ -263,7 +263,12 @@ def main(argv=None):
         else:
             corpus = prepare_corpus(val_anns)
             if process_index == 0:
-                json.dump(corpus, open(corpus_cache, "w"), indent=4)
+                # atomic write (tmp + rename): a lagging multihost peer
+                # that sees the file exist must never read a partial dump
+                tmp = corpus_cache + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(corpus, f, indent=4)
+                os.replace(tmp, corpus_cache)
         table_put = None
         if mesh:
             from jax.sharding import NamedSharding, PartitionSpec

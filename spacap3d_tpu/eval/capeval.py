@@ -478,7 +478,12 @@ def locate_wordnet_dir() -> "str | None":
     stage is strictly opt-in-by-availability."""
     cands = []
     env = os.environ.get("SPACAP_WORDNET_DIR")
-    if env:
+    if env is not None:
+        # explicit empty/'none'/'0' DISABLES the synonym stage entirely
+        # (no nltk_data fallback) — multihost mul_eval uses this to keep
+        # one METEOR definition across hosts with differing nltk_data
+        if not env or env.lower() in ("0", "none", "disabled"):
+            return None
         cands.append(env)
     nltk_roots = os.environ.get("NLTK_DATA", "").split(os.pathsep)
     nltk_roots += [os.path.expanduser("~/nltk_data"), "/usr/share/nltk_data",
@@ -504,7 +509,12 @@ def load_wordnet_synsets(wn_dir: str) -> Dict[str, frozenset]:
     if wn_dir in _WN_CACHE:
         return _WN_CACHE[wn_dir]
     syn: Dict[str, set] = {}
-    for pos in ("noun", "verb", "adj", "adv"):
+    # WordNet's own synset-type letters: n/v/a/r (adverb is 'r', NOT
+    # 'a' — 'a' is adjective; using pos[0] for both would conflate the
+    # two offset namespaces and fabricate adjective<->adverb synonym
+    # matches wherever their data-file offsets collide)
+    for pos, letter in (("noun", "n"), ("verb", "v"),
+                        ("adj", "a"), ("adv", "r")):
         path = os.path.join(wn_dir, f"index.{pos}")
         if not os.path.exists(path):
             continue
@@ -519,10 +529,17 @@ def load_wordnet_synsets(wn_dir: str) -> Dict[str, frozenset]:
                     continue
                 try:
                     synset_cnt = int(parts[2])
-                    offsets = parts[-synset_cnt:]
-                except (ValueError, IndexError):
+                except ValueError:
                     continue
-                ids = {pos[0] + o for o in offsets}
+                if synset_cnt <= 0:
+                    continue  # -0: would slice the WHOLE line as offsets
+                offsets = parts[-synset_cnt:]
+                # offsets are 8-digit decimals; skip corrupt lines rather
+                # than admit pointer symbols ('@', '1', ...) as fake
+                # shared synset ids that make unrelated words "synonyms"
+                if not all(o.isdigit() for o in offsets):
+                    continue
+                ids = {letter + o for o in offsets}
                 syn.setdefault(parts[0], set()).update(ids)
     out = {w: frozenset(s) for w, s in syn.items()}
     _WN_CACHE[wn_dir] = out

@@ -491,7 +491,17 @@ def mul_eval_grid_multihost(
     # imbalanced when len(seeds) % process_count != 0) — far past the
     # ~30 s rendezvous deadline XLA's collectives impose on a context's
     # FIRST formation (see parallel/multihost.py::warmup_collectives).
-    allgather_pyobj(None)
+    # The same allgather agrees on MeteorLite's WordNet-synonym stage:
+    # hosts can differ in nltk_data availability, and a seed-sharded grid
+    # must score every seed under ONE metric definition — if any process
+    # lacks a dictionary, all disable the stage (capeval sentinel).
+    import os as _os
+
+    from spacap3d_tpu.eval.capeval import locate_wordnet_dir
+
+    wn_avail = allgather_pyobj(locate_wordnet_dir() is not None)
+    if any(wn_avail) and not all(wn_avail):
+        _os.environ["SPACAP_WORDNET_DIR"] = "disabled"
 
     local_seeds = process_shard(list(seeds))
     local_rows = (

@@ -642,7 +642,7 @@ def captioner_eval(
     # the bf16 decode on a TPU backend — the f32 parity paths and CPU CI
     # keep the XLA composites. The generator pad is hoisted out of the
     # scan here (weights are loop-invariant).
-    use_fused = (getattr(cfg, "eval_decode_fused", True)
+    use_fused = (getattr(cfg, "eval_decode_fused", False)
                  and dd == jnp.bfloat16
                  and jax.default_backend() == "tpu")
     gen_fused = None

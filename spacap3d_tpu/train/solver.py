@@ -365,10 +365,23 @@ class Solver:
         # only process 0 writes eval artifacts (multi-host: every process
         # validates redundantly and identically; see __init__ note)
         write_files = self.process_index == 0
+        val_params = self.train_state.params
+        val_state = self.train_state.state
+        if self.process_count > 1:
+            # after the first train step the params/state are committed to
+            # the GLOBAL multi-process mesh; the eval step is a plain
+            # process-local jit (see __init__), so feeding the committed
+            # arrays directly would place the computation on a device set
+            # spanning non-addressable devices. They are replicated
+            # (out_shardings P()), so every process holds a full
+            # addressable copy — pull to host once per validation and let
+            # the local jit re-place them on local devices.
+            val_params = jax.tree_util.tree_map(np.asarray, val_params)
+            val_state = jax.tree_util.tree_map(np.asarray, val_state)
         if self.eval_on_train and self.train_eval_loader is not None:
             self.logger.log("evaluating on train split...")
             train_metrics, _ = eval_cap(
-                self.eval_step, self.train_state.params, self.train_state.state,
+                self.eval_step, val_params, val_state,
                 self.train_eval_dataset, self.train_eval_loader, self.vocab,
                 self.dc, self.train_corpus_annotations,
                 corpus_cache=os.path.join(self.root, "corpus_train.json")
@@ -383,7 +396,7 @@ class Solver:
                     self.logger.scalar("train", f"eval_{k}", v, self.global_iter)
         self.logger.log("validating...")
         metrics, _ = eval_cap(
-            self.eval_step, self.train_state.params, self.train_state.state,
+            self.eval_step, val_params, val_state,
             self.val_dataset, self.val_loader, self.vocab, self.dc,
             self.corpus_annotations,
             corpus_cache=os.path.join(self.root, "corpus_val.json")
